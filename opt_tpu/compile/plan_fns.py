@@ -1,0 +1,227 @@
+"""ProblemFunctions: the pure-JAX callables a plan's solver runs on.
+
+This layer replaces the reference's derivative synthesizers + generated
+kernels (reference: API/src/o.t:2770-3129 createcost/createjtf*/createjtj*/
+computeCtC*/createmodelcost*):
+
+  residuals(x, data)   -> list of per-group residual fields (UNMASKED -- the
+                          reference's J includes rows whose center pixel is
+                          excluded; only the *cost* kernels gate on exclusion,
+                          solverGPUGaussNewton.t:530-560 vs :971-1000)
+  cost(x, data)        -> 0.5 * sum of squared *masked* fields (createcost,
+                          o.t:3119-3129)
+  jtf / jtjp           -> via jax.linearize + jax.linear_transpose (replacing
+                          createjtfcentered o.t:2870 / createjtjcentered
+                          o.t:2770 and the graph scatter variants)
+  diag_jtj(x, data)    -> structural gather of squared per-leaf partials
+                          (the Jacobi preconditioner, o.t:2894-2903)
+
+Exclusion masks zero the *unknown-side* of every operator (excluded unknowns
+never move: PCGLinearUpdate gate, solverGPUGaussNewton.t:855-862).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dsl import expr as E
+from . import evaluate as ev
+from .terms import classify_terms, classify_excludes
+
+
+def _leaf_read(access, x, graph_indices):
+    img = access.image
+    chan = x[img.name][..., access.channel]
+    idx = access.index
+    if isinstance(idx, E.Offset):
+        return ev.shift_read(chan, idx.data)
+    vidx = graph_indices[idx.graph.name][idx.slot]
+    return jnp.take(chan, vidx, axis=0)
+
+
+class ProblemFunctions:
+    def __init__(self, spec, dtype):
+        self.spec = spec
+        self.dtype = dtype
+        self.groups = classify_terms(spec)
+        self.excludes = classify_excludes(spec)  # ispace key -> exprs
+        self.use_preconditioner = spec.use_preconditioner
+        self.unknowns = spec.unknowns  # name -> Image handle
+        self.unknown_shapes = {
+            n: im.ispace.shape + (im.channels,)
+            for n, im in self.unknowns.items()
+        }
+
+    # -- contexts ------------------------------------------------------------
+
+    def _group_shape(self, group, data):
+        if group.kind == "centered":
+            return group.ispace.shape
+        any_slot = next(iter(group.graph.slots))
+        return data["graph_indices"][group.graph.name][any_slot].shape
+
+    def _ctx(self, group, x, data):
+        images = dict(data["images"])
+        images.update(x)
+        return ev.EvalContext(
+            domain="grid" if group.kind == "centered" else "graph",
+            shape=self._group_shape(group, data),
+            images=images,
+            params=data["params"],
+            graph_indices=data.get("graph_indices", {}),
+            dtype=self.dtype,
+        )
+
+    def exclude_mask(self, ispace_key, x, data):
+        """Boolean 'excluded' mask over one index space, or None."""
+        exprs = self.excludes.get(ispace_key)
+        if not exprs:
+            return None
+        shape = None
+        for im in self.spec.images.values():
+            if im.ispace.key() == ispace_key:
+                shape = im.ispace.shape
+                break
+        images = dict(data["images"])
+        images.update(x)
+        ctx = ev.EvalContext(
+            domain="grid",
+            shape=shape,
+            images=images,
+            params=data["params"],
+            graph_indices=data.get("graph_indices", {}),
+            dtype=self.dtype,
+        )
+        m = None
+        for e in exprs:
+            v = ctx.eval(e)
+            v = v if v.dtype == jnp.bool_ else (v != 0)
+            v = jnp.broadcast_to(v, shape)
+            m = v if m is None else (m | v)
+        return m
+
+    def unknown_masks(self, x, data):
+        """Per-unknown 'excluded' masks, shaped (*spatial, 1), or None."""
+        cache = {}
+        out = {}
+        for n, im in self.unknowns.items():
+            k = im.ispace.key()
+            if k not in cache:
+                cache[k] = self.exclude_mask(k, x, data)
+            m = cache[k]
+            out[n] = None if m is None else m[..., None]
+        return out
+
+    def mask_unknown_tree(self, tree, masks):
+        return {
+            n: (v if masks[n] is None else jnp.where(masks[n], 0.0, v))
+            for n, v in tree.items()
+        }
+
+    # -- residual fields -------------------------------------------------------
+
+    def residual_fields(self, x, data, masked):
+        """List over groups of (n_channels, *domain) stacked fields."""
+        out = []
+        for g in self.groups:
+            ctx = self._ctx(g, x, data)
+            fields = [ev.eval_field(e, ctx) for e in g.exprs]
+            f = jnp.stack(fields)
+            if masked and g.kind == "centered":
+                m = self.exclude_mask(g.ispace.key(), x, data)
+                if m is not None:
+                    f = jnp.where(m[None], 0.0, f)
+            out.append(f)
+        return out
+
+    def residuals_solve(self, x, data):
+        return self.residual_fields(x, data, masked=False)
+
+    def cost(self, x, data):
+        fields = self.residual_fields(x, data, masked=True)
+        total = jnp.zeros((), dtype=self.dtype)
+        for f in fields:
+            total = total + 0.5 * jnp.sum(f * f)
+        return total
+
+    def model_cost(self, r0, jvp_fn, delta, x, data):
+        """0.5 * sum of masked (r + J delta)^2 (createmodelcost, o.t:2915)."""
+        jd = jvp_fn(delta)
+        total = jnp.zeros((), dtype=self.dtype)
+        for g, f0, fd in zip(self.groups, r0, jd):
+            f = f0 + fd
+            if g.kind == "centered":
+                m = self.exclude_mask(g.ispace.key(), x, data)
+                if m is not None:
+                    f = jnp.where(m[None], 0.0, f)
+            total = total + 0.5 * jnp.sum(f * f)
+        return total
+
+    # -- linearization ---------------------------------------------------------
+
+    def linearize(self, x, data):
+        """(r0, jvp, jt): matrix-free J and J^T at the current point."""
+        fn = lambda xx: self.residuals_solve(xx, data)
+        r0, jvp_fn = jax.linearize(fn, x)
+        jt_fn = jax.linear_transpose(jvp_fn, x)
+
+        def jt(cotangents):
+            (g,) = jt_fn(cotangents)
+            return g
+
+        return r0, jvp_fn, jt
+
+    def jtf(self, r0, jt):
+        """J^T F -- gradient of the (unmasked) half-sum-of-squares."""
+        return jt(r0)
+
+    # -- diag(J^T J) ------------------------------------------------------------
+
+    def diag_jtj(self, x, data):
+        """Exact diag(J^T J) via per-leaf elementwise partials.
+
+        For each term group, residual fields depend on each gathered unknown
+        leaf pointwise; a one-hot-ones JVP therefore yields the elementwise
+        partial field dr/da.  Squaring and scattering back onto the unknown
+        (inverse shift for grids / index-add for graphs) reproduces the
+        reference's symbolic gather (createjtfcentered o.t:2894-2903,
+        createjtfgraph o.t:2984-2991) without materializing J.
+        """
+        diag = {
+            n: jnp.zeros(s, dtype=self.dtype)
+            for n, s in self.unknown_shapes.items()
+        }
+        gidx = data.get("graph_indices", {})
+        for g in self.groups:
+            leaves = g.unknown_leaves
+            if not leaves:
+                continue
+            keys = [a.key() for a in leaves]
+            leaf_vals = tuple(_leaf_read(a, x, gidx) for a in leaves)
+
+            def gfun(vals, g=g, keys=keys):
+                ctx = self._ctx(g, x, data)
+                ctx.leaf_overrides = dict(zip(keys, vals))
+                return jnp.stack([ev.eval_field(e, ctx) for e in g.exprs])
+
+            _, jvp_fn = jax.linearize(gfun, leaf_vals)
+            for i, a in enumerate(leaves):
+                tangents = tuple(
+                    jnp.ones_like(v) if j == i else jnp.zeros_like(v)
+                    for j, v in enumerate(leaf_vals)
+                )
+                d = jvp_fn(tangents)  # (n_channels, *domain)
+                d2 = jnp.sum(d * d, axis=0)
+                img = a.image
+                if isinstance(a.index, E.Offset):
+                    contrib = ev.scatter_shift(d2, a.index.data)
+                    diag[img.name] = diag[img.name].at[..., a.channel].add(
+                        contrib
+                    )
+                else:
+                    vidx = gidx[a.index.graph.name][a.index.slot]
+                    diag[img.name] = diag[img.name].at[vidx, a.channel].add(
+                        d2
+                    )
+        return diag

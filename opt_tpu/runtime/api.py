@@ -1,0 +1,325 @@
+"""Public API: the TPU-native analogue of the reference's C API.
+
+Parity with reference: API/release/include/Opt.h:40-76 --
+  Opt_NewState            -> OptState(...)
+  Opt_ProblemDefine       -> state.problem_define(energy, kind)
+  Opt_ProblemPlan         -> state.problem_plan(problem, dims)
+  Opt_SetSolverParameter  -> plan.set_solver_parameter(name, value)
+  Opt_ProblemInit/Step    -> plan.init(inputs) / plan.step()
+  Opt_ProblemSolve        -> plan.solve(inputs)  (also fully on-device)
+  Opt_ProblemCurrentCost  -> plan.current_cost()
+
+Where the reference JIT-compiles Terra->PTX per (problem, dims, backend)
+at plan time (o.t:1351-1528), a plan here holds jitted XLA executables
+specialized to the same static information (dims are baked into traced
+shapes).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..dsl import expr as E
+from ..dsl.env import EnergyEnv
+from ..dsl.spec import ProblemSpec
+from ..compile.plan_fns import ProblemFunctions
+from ..solver.core import (
+    SOLVER_PARAMETER_DEFAULTS,
+    SolverConfig,
+    make_solver,
+)
+from .timing import KernelTimer
+
+GN_KINDS = ("gaussNewtonGPU", "gauss_newton", "gaussNewton", "GN")
+LM_KINDS = ("LMGPU", "levenberg_marquardt", "levenbergMarquardt", "LM")
+
+
+class Problem:
+    def __init__(self, energy, kind):
+        self.energy = energy
+        self.kind = kind
+        if kind in GN_KINDS:
+            self.uses_lambda = False
+        elif kind in LM_KINDS:
+            self.uses_lambda = True
+        else:
+            raise ValueError(f"unknown solver kind {kind!r}")
+
+
+class OptState:
+    """Opt_NewState parity (Opt_InitializationParameters, Opt.h:8-35).
+
+    backend / numthreads are accepted for API parity; execution targets
+    whatever JAX backend is active (TPU when present, CPU otherwise) --
+    the reference's backend_cpu/backend_cuda split collapses into one XLA
+    program.
+    """
+
+    def __init__(
+        self,
+        backend="tpu",
+        numthreads=1,
+        double_precision=False,
+        verbosity=0,
+        collect_kernel_timing=False,
+        use_materialized_jacobian=False,
+        use_fused_jtj=False,
+        guarded_invert_type="CERES",
+        jacobi_scaling="ONCE_PER_SOLVE",
+    ):
+        if double_precision:
+            jax.config.update("jax_enable_x64", True)
+        self.backend = backend
+        self.numthreads = numthreads
+        self.double_precision = double_precision
+        self.verbosity = verbosity
+        self.collect_kernel_timing = collect_kernel_timing
+        self.use_materialized_jacobian = use_materialized_jacobian
+        self.use_fused_jtj = use_fused_jtj
+        self.guarded_invert_type = guarded_invert_type
+        self.jacobi_scaling = jacobi_scaling
+        self.dtype = jnp.float64 if double_precision else jnp.float32
+
+    def problem_define(self, energy, kind="gaussNewtonGPU"):
+        return Problem(energy, kind)
+
+    def problem_plan(self, problem, dims, **kwargs):
+        return Plan(self, problem, dims, **kwargs)
+
+    def problem_solve(self, plan, inputs):
+        plan.init(inputs)
+        while plan.step():
+            pass
+        return plan.current_cost()
+
+    # CamelCase aliases for reference-API parity
+    ProblemDefine = problem_define
+    ProblemPlan = problem_plan
+    ProblemSolve = problem_solve
+
+
+def NewState(**kwargs):
+    return OptState(**kwargs)
+
+
+def _run_energy(energy, env):
+    """Run a user energy definition: a callable taking the env, or a path
+    to a Python file executed with the DSL names as globals (the analogue
+    of problemSpecFromFile, o.t:1295-1348)."""
+    if callable(energy):
+        energy(env)
+        return
+    path = str(energy)
+    with open(path) as f:
+        src = f.read()
+    ns = env.namespace()
+    ns["__name__"] = "<energy>"
+    exec(compile(src, path, "exec"), ns)
+
+
+class Plan:
+    """A shape-specialized, jitted solver (opt.Plan, o.t:158-164)."""
+
+    def __init__(self, state: OptState, problem: Problem, dims, jit=True):
+        self.state = state
+        self.problem = problem
+        self.dims = dims
+        self.spec = ProblemSpec()
+        env = EnergyEnv(self.spec, dims)
+        _run_energy(problem.energy, env)
+        if not self.spec.terms:
+            raise ValueError("energy defined no residual terms")
+
+        self.funcs = ProblemFunctions(self.spec, state.dtype)
+        self.config = SolverConfig(
+            uses_lambda=problem.uses_lambda,
+            guarded_invert_type=state.guarded_invert_type,
+            jacobi_scaling=state.jacobi_scaling,
+            use_materialized_jacobian=state.use_materialized_jacobian,
+            use_fused_jtj=state.use_fused_jtj,
+        )
+        init_fn, step_fn, cost_fn, solve_fn = make_solver(
+            self.funcs, self.config
+        )
+        if jit:
+            self._init_fn = jax.jit(init_fn)
+            self._step_fn = jax.jit(step_fn)
+            self._cost_fn = jax.jit(cost_fn)
+            self._solve_fn = jax.jit(solve_fn)
+        else:
+            self._init_fn = init_fn
+            self._step_fn = step_fn
+            self._cost_fn = cost_fn
+            self._solve_fn = solve_fn
+
+        self.solver_params = dict(SOLVER_PARAMETER_DEFAULTS)
+        self._state = None
+        self._data = None
+        self.timer = KernelTimer(enabled=state.collect_kernel_timing)
+
+    # -- parameters -----------------------------------------------------------
+
+    def set_solver_parameter(self, name, value):
+        if name not in self.solver_params:
+            raise KeyError(f"unknown solver parameter {name!r}")
+        self.solver_params[name] = value
+
+    SetSolverParameter = set_solver_parameter
+
+    def _sp_device(self):
+        sp = {}
+        for k, v in self.solver_params.items():
+            if k in ("nIterations",):
+                continue
+            if k in ("lIterations", "residual_reset_period"):
+                sp[k] = jnp.asarray(int(v), jnp.int32)
+            else:
+                sp[k] = jnp.asarray(float(v), self.state.dtype)
+        return sp
+
+    # -- data binding (util.initParameters parity, util.t:677-721) ------------
+
+    def bind(self, inputs):
+        dtype = self.state.dtype
+        images = {}
+        unknowns = {}
+        params = {}
+        graph_indices = {}
+
+        def canon_image(im, arr):
+            arr = jnp.asarray(arr)
+            spatial = im.ispace.shape
+            if arr.shape == spatial:
+                if im.channels != 1:
+                    raise ValueError(
+                        f"{im.name}: expected {im.channels} channels"
+                    )
+                arr = arr[..., None]
+            expect = spatial + (im.channels,)
+            if arr.shape != expect:
+                raise ValueError(
+                    f"{im.name}: shape {arr.shape} != expected {expect} "
+                    f"(note layout: dims ({', '.join(d.name for d in im.ispace.dims)}) "
+                    f"-> array shape {expect})"
+                )
+            return arr.astype(dtype)
+
+        for name, im in self.spec.images.items():
+            if name not in inputs:
+                raise KeyError(f"missing image input {name!r}")
+            arr = canon_image(im, inputs[name])
+            if im.is_unknown:
+                unknowns[name] = arr
+            else:
+                images[name] = arr
+
+        for name in self.spec.params:
+            if name not in inputs:
+                raise KeyError(f"missing param input {name!r}")
+            params[name] = jnp.asarray(float(inputs[name]), dtype)
+
+        for gname, g in self.spec.graphs.items():
+            slots = {}
+            gin = inputs.get(gname)
+            for sname in g.slots:
+                if gin is not None and sname in gin:
+                    v = gin[sname]
+                elif f"{gname}.{sname}" in inputs:
+                    v = inputs[f"{gname}.{sname}"]
+                else:
+                    raise KeyError(
+                        f"missing graph indices {gname}.{sname}"
+                    )
+                slots[sname] = jnp.asarray(v, jnp.int32)
+            n = {s.shape for s in slots.values()}
+            if len(n) != 1:
+                raise ValueError(f"graph {gname}: slot length mismatch")
+            graph_indices[gname] = slots
+
+        data = {
+            "images": images,
+            "params": params,
+            "graph_indices": graph_indices,
+        }
+        return unknowns, data
+
+    # -- lifecycle --------------------------------------------------------------
+
+    def init(self, inputs):
+        """Opt_ProblemInit: bind data, compute initial cost."""
+        x, data = self.bind(inputs)
+        self._data = data
+        with self.timer.event("init"):
+            self._state = self._init_fn(x, data, self._sp_device())
+            jax.block_until_ready(self._state)
+        return self
+
+    Init = init
+
+    def step(self):
+        """Opt_ProblemStep: one outer iteration; returns 1 while running."""
+        assert self._state is not None, "call init() first"
+        s = self._state
+        if int(s["n_iter"]) >= int(self.solver_params["nIterations"]):
+            return 0
+        if bool(s["done"]):
+            return 0
+        with self.timer.event(f"step_{int(s['n_iter'])}"):
+            self._state = self._step_fn(s, self._data, self._sp_device())
+            jax.block_until_ready(self._state)
+        return 1
+
+    Step = step
+
+    def solve(self, inputs, on_device=True):
+        """Opt_ProblemSolve: full solve.  on_device=True runs the whole
+        outer loop inside one XLA program (no per-iteration host sync --
+        the reference cannot do this; solverGPUGaussNewton.t syncs every
+        reduction read)."""
+        x, data = self.bind(inputs)
+        self._data = data
+        sp = self._sp_device()
+        if on_device:
+            with self.timer.event("solve"):
+                st = self._init_fn(x, data, sp)
+                sp_full = dict(sp)
+                sp_full["nIterations"] = jnp.asarray(
+                    int(self.solver_params["nIterations"]), jnp.int32
+                )
+                self._state = self._solve_fn(st, data, sp_full)
+                jax.block_until_ready(self._state)
+        else:
+            self.init(inputs)
+            while self.step():
+                pass
+        if self.state.verbosity > 0:
+            print(f"final cost={self.final_cost():.16f}")
+        return self.final_cost()
+
+    Solve = solve
+
+    # -- results ------------------------------------------------------------------
+
+    def current_cost(self):
+        assert self._state is not None
+        return float(self._cost_fn(self._state, self._data))
+
+    CurrentCost = current_cost
+
+    def final_cost(self):
+        """The cost the reference prints as 'final cost=' (prevCost,
+        solverGPUGaussNewton.t:1903): cost after the last accepted update."""
+        assert self._state is not None
+        return float(self._state["prev_cost"])
+
+    def unknowns(self):
+        assert self._state is not None
+        return {k: np.asarray(v) for k, v in self._state["x"].items()}
+
+    @property
+    def x(self):
+        return self._state["x"]

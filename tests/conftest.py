@@ -1,0 +1,17 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Bench runs on real TPU; tests use jax-on-CPU (the reference's backend_cpu
+plays the same golden-answer role, reference: examples/test_final_cost.py).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
