@@ -1,0 +1,102 @@
+"""Benchmark: image_warping at 512x512 (the reference's canonical perf
+config, BASELINE.md: cat512, nonLinearIter=8, linearIter=400).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+value: wall-clock ms for the full solve (8 GN outer iterations x 400 PCG
+iterations, matrix-free), run entirely on device after one warmup solve.
+
+vs_baseline: speedup vs the only absolute timing anchor the reference
+publishes in-repo -- image_warping PCGStep1 averaging ~24 ms on the fork
+author's CPU (reference: API/src/solverGPUGaussNewton.t:1926-1933).
+PCGStep1 (the J^T J p apply) dominates the solve, so the reference's
+whole-solve time is at least 8*400*24 ms = 76800 ms on that machine;
+vs_baseline = 76800 / value.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def warp_inputs(W, H, seed=0):
+    rng = np.random.RandomState(seed)
+    ur = rng.randn(H, W, 2).astype(np.float32)
+    cons = np.full((H, W, 2), -1.0, np.float32)
+    # constraint band: ~5% of pixels pinned to mutually inconsistent targets
+    # (keeps the optimum nonzero so divergence would be visible in the cost)
+    cons[::20, :] = np.abs(rng.randn(H, W, 2).astype(np.float32))[::20, :]
+    mask = np.zeros((H, W, 1), np.float32)
+    return {
+        "Offset": np.zeros((H, W, 2), np.float32),
+        "Angle": np.zeros((H, W, 1), np.float32),
+        "UrShape": ur,
+        "Constraints": cons,
+        "Mask": mask,
+        "w_fitSqrt": np.sqrt(0.5),
+        "w_regSqrt": np.sqrt(2.0),
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+
+    W = H = 512
+    n_outer, n_linear = 8, 400
+
+    state = opt_tpu.NewState()
+    problem = state.problem_define(
+        energies.image_warping, "gaussNewtonGPU"
+    )
+    plan = state.problem_plan(problem, [W, H])
+    plan.set_solver_parameter("nIterations", n_outer)
+    plan.set_solver_parameter("lIterations", n_linear)
+
+    inputs = warp_inputs(W, H)
+    x, data = plan.bind(inputs)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
+
+    def run():
+        st = plan._init_fn(x, data, sp)
+        st = plan._solve_fn(st, data, sp)
+        jax.block_until_ready(st)
+        return st
+
+    st = run()  # warmup + compile
+    final_cost = float(st["prev_cost"])
+    assert np.isfinite(final_cost), f"bench diverged: {final_cost}"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) * 1e3)
+    value = float(min(times))
+
+    baseline_ms = 8 * 400 * 24.0  # see module docstring
+    print(
+        json.dumps(
+            {
+                "metric": "image_warping_512_gn_solve(8x400)",
+                "value": round(value, 1),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / value, 2),
+            }
+        )
+    )
+    print(
+        f"# backend={jax.default_backend()} final_cost={final_cost:.6f} "
+        f"times_ms={[round(t,1) for t in times]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,18 +54,39 @@ def _safe_sqrt_jvp(primals, tangents):
     return y, d * t
 
 
+def _div_tiny(dtype):
+    """Clamp floor for denominators, chosen so that 1/b, 1/b^2, and a/b^2
+    all stay finite in the working dtype: a transpose pass multiplies zero
+    cotangents by *individual primitive coefficients*, so each coefficient
+    must be finite for dead select branches to stay inert (0 * finite = 0,
+    but 0 * inf = nan)."""
+    return 1e-10 if jnp.dtype(dtype).itemsize <= 4 else 1e-60
+
+
+def _clamp_denominator(b):
+    """Sign-preserving clamp away from zero.
+
+    Keeps division results finite so that a NaN/inf inside a *dead* select
+    branch cannot poison the transpose pass (the reference never evaluates
+    dead-branch partials thanks to condition factoring, ad.splitcondition
+    ad.t:1027; with jnp.where both branches run, and transpose rules
+    multiply stored forward values by zero cotangents -- 0 * inf = nan).
+    For any denominator a real energy produces this is exact."""
+    mag = jnp.maximum(jnp.abs(b), _div_tiny(jnp.result_type(b)))
+    return jnp.where(b < 0, -mag, mag)
+
+
 @jax.custom_jvp
 def safe_div(a, b):
-    return a / b
+    return a / _clamp_denominator(b)
 
 
 @safe_div.defjvp
 def _safe_div_jvp(primals, tangents):
     a, b = primals
     ta, tb = tangents
-    y = a / b
-    bsafe = jnp.where(jnp.abs(b) < _TINY, _TINY, b)
-    inv = 1.0 / bsafe
+    inv = 1.0 / _clamp_denominator(b)
+    y = a * inv
     return y, ta * inv - a * inv * inv * tb
 
 
@@ -78,7 +99,7 @@ def safe_log(x):
 def _safe_log_jvp(primals, tangents):
     (x,) = primals
     (t,) = tangents
-    return jnp.log(x), t / jnp.maximum(x, _TINY)
+    return jnp.log(x), t / jnp.maximum(x, _div_tiny(jnp.result_type(x)))
 
 
 @jax.custom_jvp
@@ -91,9 +112,11 @@ def _safe_pow_jvp(primals, tangents):
     x, y = primals
     tx, ty = tangents
     v = jnp.power(x, y)
-    xs = jnp.where(jnp.abs(x) < _TINY, _TINY, x)
+    # generous floor: keeps y*x^(y-1) finite in float32 for |y| <= ~8
+    tiny = 1e-4 if jnp.result_type(x).itemsize <= 4 else 1e-30
+    xs = jnp.where(jnp.abs(x) < tiny, tiny, x)
     dx = y * jnp.power(xs, y - 1.0)
-    dy = v * jnp.log(jnp.maximum(jnp.abs(xs), _TINY))
+    dy = v * jnp.log(jnp.maximum(jnp.abs(xs), tiny))
     return v, dx * tx + dy * ty
 
 

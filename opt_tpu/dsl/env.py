@@ -39,6 +39,9 @@ class EnergyEnv:
         # element-type names for parity with the reference (o.t:3286-3294)
         self.opt_float = 1
         self.float_ = 1
+        self.uint8 = 1
+        self.int32 = 1
+        self.opt_double = 1
         for i in range(2, 13):
             setattr(self, f"opt_float{i}", i)
             setattr(self, f"float{i}", i)
@@ -304,5 +307,7 @@ class EnergyEnv:
         for k in dir(self):
             if not k.startswith("_"):
                 ns[k] = getattr(self, k)
-        ns["float"] = 1  # reference energy files say `Param("w", float, 5)`
+        # reference energy files say `Param("w", float, 5)`, `Array(.., uint8, ..)`
+        for t in ("float", "double", "uint8", "int32", "uint32"):
+            ns[t] = 1
         return ns

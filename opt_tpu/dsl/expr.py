@@ -400,21 +400,26 @@ eq = _binary("eq")
 
 
 def select(cond, a, b):
-    """ad.select parity: elementwise select, condition broadcast over vectors."""
-    if isinstance(a, ExpVector) or isinstance(b, ExpVector):
-        pairs = _broadcast(a, b)
-        if isinstance(cond, ExpVector):
-            if len(cond.data) != len(pairs):
-                raise ValueError("select condition channel mismatch")
-            return ExpVector(
-                [
-                    Apply("select", (c, x, y))
-                    for c, (x, y) in zip(cond.data, pairs)
-                ]
-            )
-        ce = toexp(cond)
-        return ExpVector([Apply("select", (ce, x, y)) for x, y in pairs])
-    return Apply("select", (toexp(cond), toexp(a), toexp(b)))
+    """ad.select parity: elementwise select; scalars broadcast against
+    whichever of cond/a/b is a vector."""
+    n = None
+    for v in (cond, a, b):
+        if isinstance(v, ExpVector):
+            if n is not None and len(v.data) != n:
+                raise ValueError("select channel mismatch")
+            n = len(v.data)
+    if n is None:
+        return Apply("select", (toexp(cond), toexp(a), toexp(b)))
+
+    def chan(v, i):
+        return v.data[i] if isinstance(v, ExpVector) else toexp(v)
+
+    return ExpVector(
+        [
+            Apply("select", (chan(cond, i), chan(a, i), chan(b, i)))
+            for i in range(n)
+        ]
+    )
 
 
 def Vector(*args):

@@ -71,6 +71,8 @@ def _channels_of(typ):
         return typ
     if isinstance(typ, str):
         t = typ.strip()
+        if t in ("uint8", "int8", "int32", "uint32", "int64", "bool"):
+            return 1  # integral mask types become 1-channel floats
         for prefix in ("opt_float", "opt_double", "float", "double"):
             if t.startswith(prefix):
                 rest = t[len(prefix):]
@@ -93,20 +95,31 @@ class Image:
         self.is_unknown = is_unknown
         self.spec = spec
 
-    def _index_of(self, args):
-        if args and isinstance(args[0], GraphSlot):
-            assert len(args) == 1, "graph access takes a single slot"
-            slot = args[0]
-            return E.GraphElement(slot.graph, slot.name)
-        if len(args) != self.ispace.ndims:
-            raise ValueError(
-                f"{self.name}: expected {self.ispace.ndims} offsets, "
-                f"got {len(args)}"
-            )
-        return E.Offset(args)
-
     def __call__(self, *args):
-        index = self._index_of(args)
+        """Read at an Offset, a graph slot, or (offsets..., channel)
+        (the optional trailing channel arg mirrors o.t:1776-1786)."""
+        if args and isinstance(args[0], GraphSlot):
+            slot = args[0]
+            index = E.GraphElement(slot.graph, slot.name)
+            rest = args[1:]
+        else:
+            nd = self.ispace.ndims
+            if len(args) == nd + 1:
+                index = E.Offset(args[:nd])
+                rest = args[nd:]
+            elif len(args) == nd:
+                index = E.Offset(args)
+                rest = ()
+            else:
+                raise ValueError(
+                    f"{self.name}: expected {nd} offsets "
+                    f"(+ optional channel), got {len(args)}"
+                )
+        if rest:
+            (c,) = rest
+            if not (0 <= int(c) < self.channels):
+                raise ValueError(f"{self.name}: channel {c} out of range")
+            return E.ImageAccess(self, index, int(c))
         chans = [E.ImageAccess(self, index, c) for c in range(self.channels)]
         if self.channels == 1:
             return chans[0]

@@ -1,0 +1,122 @@
+"""Multi-chip execution: spatial domain decomposition over a device mesh.
+
+The reference is single-device; its closest analogue is the CPU_MT backend's
+outermost-dimension block partition over a pthread pool (reference:
+API/src/backend_cpu_mt.t:698-944).  On TPU that role is played by SPMD
+partitioning over the ICI mesh:
+
+* grid unknowns/arrays shard their leading spatial axes (H, or D and H for
+  3D) across mesh axes -- the analogue of splitting the outermost loop dim
+  across threads (backend_cpu_mt.t:712-740);
+* XLA GSPMD inserts the halo exchanges for stencil shifts and all-reduces
+  for the five PCG scalars (the reference's ReduceVar + atomicAdd two-stage
+  reductions, backend_cuda.t:447-495);
+* graph problems shard edges and vertices; edge gathers/scatter-adds that
+  cross shard boundaries become collectives -- the analogue of the
+  per-thread shadow-buffer merge (backend_cpu_mt.t:863-930).
+
+Everything is sharding annotations on the *inputs*; the solver program is
+unchanged (one jitted XLA program, partitioned by the compiler).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, shape=None, axis_names=None, devices=None):
+    """Build a 1-D or 2-D device mesh.
+
+    shape: explicit mesh shape tuple; default factors n_devices as close to
+    square as possible into ('dy', 'dx').
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        a = int(np.floor(np.sqrt(n)))
+        while n % a:
+            a -= 1
+        shape = (a, n // a)
+    if axis_names is None:
+        axis_names = ("dy", "dx")[: len(shape)]
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def _grid_spec(mesh, spatial_ndim):
+    """PartitionSpec for a (spatial..., C) grid array: shard the leading
+    spatial axes over the mesh axes (outermost dims first)."""
+    names = list(mesh.axis_names)
+    spec = [None] * (spatial_ndim + 1)
+    for i, ax in enumerate(names[: spatial_ndim]):
+        spec[i] = ax
+    return P(*spec)
+
+
+def _vector_spec(mesh):
+    """1-D domains (mesh vertices / graph edges) shard over every mesh axis
+    jointly when the mesh is 2-D."""
+    names = tuple(mesh.axis_names)
+    if len(names) == 1:
+        return P(names[0])
+    return P(names)
+
+
+def shard_problem(plan, x, data, mesh):
+    """Place bound problem data onto the mesh.
+
+    Returns (x, data) with NamedShardings applied:
+      grid images  -> leading spatial axes over mesh axes
+      vertex/edge  -> axis 0 over the whole mesh
+      params       -> replicated
+    """
+
+    def put(arr, spec):
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    def shard_image(name, arr):
+        im = plan.spec.images[name]
+        nd = im.ispace.ndims
+        if nd == 1:
+            names = tuple(mesh.axis_names)
+            axis0 = names if len(names) > 1 else names[0]
+            return put(arr, P(axis0, None))
+        return put(arr, _grid_spec(mesh, nd))
+
+    x2 = {n: shard_image(n, a) for n, a in x.items()}
+    images2 = {n: shard_image(n, a) for n, a in data["images"].items()}
+    params2 = {n: put(a, P()) for n, a in data["params"].items()}
+    graphs2 = {
+        g: {s: put(a, _vector_spec(mesh)) for s, a in slots.items()}
+        for g, slots in data["graph_indices"].items()
+    }
+    return x2, {
+        "images": images2,
+        "params": params2,
+        "graph_indices": graphs2,
+    }
+
+
+def solve_sharded(plan, inputs, mesh, n_iterations=None):
+    """Full solve with inputs sharded over the mesh.
+
+    The jitted solver program is identical to the single-chip one; GSPMD
+    partitions it.  Returns the final cost (replicated scalar)."""
+    import jax.numpy as jnp
+
+    x, data = plan.bind(inputs)
+    x, data = shard_problem(plan, x, data, mesh)
+    plan._data = data
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(
+        int(n_iterations or plan.solver_params["nIterations"]), jnp.int32
+    )
+    with mesh:
+        st = plan._init_fn(x, data, sp)
+        st = plan._solve_fn(st, data, sp)
+        jax.block_until_ready(st)
+    plan._state = st
+    return float(st["prev_cost"])

@@ -145,6 +145,11 @@ class Plan:
         init_fn, step_fn, cost_fn, solve_fn = make_solver(
             self.funcs, self.config
         )
+        # raw (unjitted) versions, e.g. for the driver's compile checks
+        self.raw_init_fn = init_fn
+        self.raw_step_fn = step_fn
+        self.raw_cost_fn = cost_fn
+        self.raw_solve_fn = solve_fn
         if jit:
             self._init_fn = jax.jit(init_fn)
             self._step_fn = jax.jit(step_fn)
