@@ -99,8 +99,9 @@ def run(argv=None):
     mask_img = read_png(data_path(base + "_mask.png")).astype(np.float32)
     constraints = load_constraints(data_path(base + ".constraints"))
 
-    img = img[::stride, ::stride]
-    mask = mask_img[::stride, ::stride, 0]
+    th, tw = img.shape[0] // stride, img.shape[1] // stride
+    img = img[: th * stride : stride, : tw * stride : stride]
+    mask = mask_img[: th * stride : stride, : tw * stride : stride, 0]
     H, W = img.shape[:2]
     image_r32 = img[..., 0]  # main.cpp: imageR32 = imageColor.x
     image_color = img[..., :3]

@@ -23,7 +23,8 @@ from opt_tpu import energies
 
 def load_rgba_f32(path, stride):
     img = read_png(path).astype(np.float32)
-    img = img[::stride, ::stride]
+    th, tw = img.shape[0] // stride, img.shape[1] // stride
+    img = img[: th * stride : stride, : tw * stride : stride]
     H, W = img.shape[:2]
     out = np.empty((H, W, 4), np.float32)
     out[..., :3] = img[..., :3]
@@ -77,7 +78,9 @@ def run(argv=None):
     image = load_rgba_f32(data_path(f0), stride)
     target = load_rgba_f32(data_path(f1), stride)
 
-    mask_img = read_png(data_path(fm))[::stride, ::stride]
+    mi = read_png(data_path(fm))
+    th, tw = mi.shape[0] // stride, mi.shape[1] // stride
+    mask_img = mi[: th * stride : stride, : tw * stride : stride]
     # main.cpp takes channel .x of the mask; CombinedSolver.h:78-79 maps
     # white (255) -> 0 (solved), everything else -> 255 (excluded)
     mask = np.where(

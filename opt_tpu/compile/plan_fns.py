@@ -52,6 +52,20 @@ class ProblemFunctions:
             n: im.ispace.shape + (im.channels,)
             for n, im in self.unknowns.items()
         }
+        # const views of unknowns: a non-unknown Array declared at the same
+        # bind index as an Unknown aliases its buffer in the reference's
+        # by-index binding (e.g. r_const in
+        # intrinsic_image_decomposition.t:7).  Values track the unknown;
+        # gradients are blocked (the reference classifies them as constant).
+        self.aliases = {}
+        unknown_idx = {
+            im.idx: n for n, im in self.unknowns.items() if im.idx is not None
+        }
+        for n, im in spec.images.items():
+            if not im.is_unknown and im.idx is not None:
+                target = unknown_idx.get(im.idx)
+                if target is not None:
+                    self.aliases[n] = target
 
     # -- contexts ------------------------------------------------------------
 
@@ -61,9 +75,15 @@ class ProblemFunctions:
         any_slot = next(iter(group.graph.slots))
         return data["graph_indices"][group.graph.name][any_slot].shape
 
-    def _ctx(self, group, x, data):
+    def _images(self, x, data):
         images = dict(data["images"])
         images.update(x)
+        for alias, target in self.aliases.items():
+            images[alias] = jax.lax.stop_gradient(x[target])
+        return images
+
+    def _ctx(self, group, x, data):
+        images = self._images(x, data)
         return ev.EvalContext(
             domain="grid" if group.kind == "centered" else "graph",
             shape=self._group_shape(group, data),
@@ -83,8 +103,7 @@ class ProblemFunctions:
             if im.ispace.key() == ispace_key:
                 shape = im.ispace.shape
                 break
-        images = dict(data["images"])
-        images.update(x)
+        images = self._images(x, data)
         ctx = ev.EvalContext(
             domain="grid",
             shape=shape,
@@ -178,20 +197,18 @@ class ProblemFunctions:
 
     # -- diag(J^T J) ------------------------------------------------------------
 
-    def diag_jtj(self, x, data):
-        """Exact diag(J^T J) via per-leaf elementwise partials.
+    def leaf_partials(self, x, data):
+        """Per-group elementwise partial fields dr/da for every unknown leaf.
 
-        For each term group, residual fields depend on each gathered unknown
-        leaf pointwise; a one-hot-ones JVP therefore yields the elementwise
-        partial field dr/da.  Squaring and scattering back onto the unknown
-        (inverse shift for grids / index-add for graphs) reproduces the
-        reference's symbolic gather (createjtfcentered o.t:2894-2903,
-        createjtfgraph o.t:2984-2991) without materializing J.
+        Each term group's residual fields depend on their gathered unknown
+        leaves pointwise, so a one-hot-ones JVP yields the elementwise
+        partial field dr/da.  This is the structured, dense form of J --
+        used for diag(J^T J) (the Jacobi preconditioner,
+        createjtfcentered o.t:2894-2903), for the materialized-Jacobian mode
+        (opt_tpu/sparse/materialize.py), and for CSR export (dumpJ parity).
+
+        Yields (group, leaves, [D_a fields of shape (n_channels, *domain)]).
         """
-        diag = {
-            n: jnp.zeros(s, dtype=self.dtype)
-            for n, s in self.unknown_shapes.items()
-        }
         gidx = data.get("graph_indices", {})
         for g in self.groups:
             leaves = g.unknown_leaves
@@ -206,12 +223,25 @@ class ProblemFunctions:
                 return jnp.stack([ev.eval_field(e, ctx) for e in g.exprs])
 
             _, jvp_fn = jax.linearize(gfun, leaf_vals)
-            for i, a in enumerate(leaves):
+            D = []
+            for i in range(len(leaves)):
                 tangents = tuple(
                     jnp.ones_like(v) if j == i else jnp.zeros_like(v)
                     for j, v in enumerate(leaf_vals)
                 )
-                d = jvp_fn(tangents)  # (n_channels, *domain)
+                D.append(jvp_fn(tangents))  # (n_channels, *domain)
+            yield g, leaves, D
+
+    def diag_jtj(self, x, data):
+        """Exact diag(J^T J): scatter of squared leaf partials back onto
+        the unknowns (inverse shift for grids / index-add for graphs)."""
+        diag = {
+            n: jnp.zeros(s, dtype=self.dtype)
+            for n, s in self.unknown_shapes.items()
+        }
+        gidx = data.get("graph_indices", {})
+        for g, leaves, D in self.leaf_partials(x, data):
+            for a, d in zip(leaves, D):
                 d2 = jnp.sum(d * d, axis=0)
                 img = a.image
                 if isinstance(a.index, E.Offset):

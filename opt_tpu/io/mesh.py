@@ -271,3 +271,54 @@ def sqrt3_subdivide(verts, faces, n=1):
         verts = np.concatenate([new_pos, centroids], axis=0)
         faces = np.asarray(new_faces, np.int32)
     return verts, faces
+
+
+def ring_graph(n_verts, faces):
+    """4-slot hyper-edges (head, tail, prev, next) for cotangent energies
+    (reference: examples/cotangent_mesh_smoothing/src/CombinedSolver.h:66-121):
+    per directed edge (v0 -> curr), prev/next are curr's cyclic neighbors in
+    v0's 1-ring.  The ring is ordered so consecutive neighbors share a face
+    with v0; for boundary vertices the ring is the open path between the two
+    boundary neighbors and the reference's %n wrap pairs its endpoints.
+    Cyclic start / direction are irrelevant: the cotangent weight is
+    symmetric in (prev, next).
+    """
+    # neighbor -> neighbor links within each vertex's ring
+    ring_links = [dict() for _ in range(n_verts)]
+    for a, b, c in faces:
+        for v, p, q in ((a, b, c), (b, c, a), (c, a, b)):
+            ring_links[v].setdefault(p, set()).add(q)
+            ring_links[v].setdefault(q, set()).add(p)
+    head, tail, prev, nxt = [], [], [], []
+    for v in range(n_verts):
+        links = ring_links[v]
+        if not links:
+            continue
+        # find a start: boundary neighbor (degree-1 link) if any, else any
+        start = None
+        for n, ls in links.items():
+            if len(ls) == 1:
+                start = n
+                break
+        if start is None:
+            start = next(iter(links))
+        ring = [start]
+        seen = {start}
+        while True:
+            cands = [x for x in links[ring[-1]] if x not in seen]
+            if not cands:
+                break
+            ring.append(cands[0])
+            seen.add(cands[0])
+        k = len(ring)
+        for i, curr in enumerate(ring):
+            head.append(v)
+            tail.append(curr)
+            prev.append(ring[(i + k - 1) % k])
+            nxt.append(ring[(i + 1) % k])
+    return {
+        "v0": np.asarray(head, np.int32),
+        "v1": np.asarray(tail, np.int32),
+        "v2": np.asarray(prev, np.int32),
+        "v3": np.asarray(nxt, np.int32),
+    }

@@ -214,6 +214,8 @@ class Plan:
             return arr.astype(dtype)
 
         for name, im in self.spec.images.items():
+            if name in self.funcs.aliases:
+                continue  # const view of an unknown; reads its live buffer
             if name not in inputs:
                 raise KeyError(f"missing image input {name!r}")
             arr = canon_image(im, inputs[name])

@@ -247,9 +247,31 @@ def make_solver(funcs, config: SolverConfig):
         def masks_apply(tree):
             return funcs.mask_unknown_tree(tree, masks)
 
-        r0, jvp_fn, jt_fn = funcs.linearize(x, data)
+        if config.use_materialized_jacobian:
+            # TPU-native CSR analogue: materialize the per-leaf partial
+            # fields once per outer iteration (saveJToCRS parity,
+            # solverGPUGaussNewton.t:1532-1657) and reuse them in every
+            # PCG step.
+            from ..sparse.materialize import MaterializedJacobian
+
+            mat = MaterializedJacobian(funcs, x, data)
+            if config.use_fused_jtj:
+                mat.fuse()
+            r0 = funcs.residuals_solve(x, data)
+            jvp_fn = mat.apply_J
+            jt_fn = mat.apply_JT
+            raw_diag = mat.diag()
+            if config.use_fused_jtj:
+                jtj_apply = mat.apply_fused_JTJ
+            else:
+                jtj_apply = mat.apply_JTJ
+        else:
+            r0, jvp_fn, jt_fn = funcs.linearize(x, data)
+            raw_diag = funcs.diag_jtj(x, data)
+            jtj_apply = lambda p: jt_fn(jvp_fn(p))
+
         neg_jtf = masks_apply(tmap(lambda v: -v, funcs.jtf(r0, jt_fn)))
-        diag = masks_apply(funcs.diag_jtj(x, data))
+        diag = masks_apply(raw_diag)
 
         if funcs.use_preconditioner:
             pre = tmap(ginv, diag)
@@ -290,8 +312,7 @@ def make_solver(funcs, config: SolverConfig):
             b = r  # pd.b = residuum (:1087)
 
             def A(p):
-                jd = jvp_fn(p)
-                out = jt_fn(jd)
+                out = jtj_apply(p)
                 out = tmap(lambda o, c, p_: o + c * p_, out, ctc, p)
                 return masks_apply(out)
 
@@ -300,7 +321,7 @@ def make_solver(funcs, config: SolverConfig):
             b = r
 
             def A(p):
-                return masks_apply(jt_fn(jvp_fn(p)))
+                return masks_apply(jtj_apply(p))
 
         delta = pcg_loop(A, pre, r, b, sp, masks_apply)
 

@@ -1,0 +1,66 @@
+"""Multi-device consistency: sharded solves match single-device solves.
+
+The analogue of the reference's thread-count sweep (test_final_cost.py
+numthreads = 1/2/4/8 over backend_cpu_mt): the same problem solved on a
+1-device and an 8-device mesh must agree at the reference's own tolerance
+(rtol 1e-5, test_final_cost.py:122).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+import opt_tpu
+from opt_tpu.parallel import mesh as pmesh
+from tests.test_solver_dense import (
+    arap_graph_energy,
+    arap_inputs,
+    warp_energy,
+    warp_inputs,
+)
+
+
+def _plan(energy, dims, kind):
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(state.problem_define(energy, kind), dims)
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 5)
+    return plan
+
+
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_grid_sharded_matches_single(kind):
+    W, H = 16, 16
+    inputs = warp_inputs(W, H, seed=3)
+    ref = _plan(warp_energy, [W, H], kind)
+    ref.init(inputs)
+    while ref.step():
+        pass
+    single = ref.final_cost()
+
+    plan = _plan(warp_energy, [W, H], kind)
+    mesh = pmesh.make_mesh(8)  # 2x4 over (H, W)
+    sharded = pmesh.solve_sharded(plan, inputs, mesh, n_iterations=2)
+    assert sharded == pytest.approx(single, rel=1e-5)
+
+
+def test_graph_sharded_matches_single():
+    N, E = 16, 32
+    inputs = arap_inputs(N, seed=4)
+    ref = _plan(arap_graph_energy, [N, E], "gaussNewtonGPU")
+    ref.init(inputs)
+    while ref.step():
+        pass
+    single = ref.final_cost()
+
+    plan = _plan(arap_graph_energy, [N, E], "gaussNewtonGPU")
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.solve_sharded(plan, inputs, mesh, n_iterations=2)
+    assert sharded == pytest.approx(single, rel=1e-5)
+
+
+def test_mesh_factoring():
+    m = pmesh.make_mesh(8)
+    assert m.devices.shape == (2, 4)
+    m = pmesh.make_mesh(4)
+    assert m.devices.shape == (2, 2)
