@@ -73,10 +73,17 @@ def main():
     final_cost = float(st["prev_cost"])
     assert np.isfinite(final_cost), f"bench diverged: {final_cost}"
 
+    # fresh (perturbed) unknowns per rep: identical-input reruns can be
+    # served from a cache by the remote-TPU relay and report ~0 ms
     times = []
-    for _ in range(3):
+    for rep in range(1, 4):
+        x_rep = dict(x)
+        x_rep["Offset"] = x["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(x_rep)
         t0 = time.perf_counter()
-        run()
+        st = plan._init_fn(x_rep, data, sp)
+        st = plan._solve_fn(st, data, sp)
+        _ = float(st["prev_cost"])  # host fetch = honest completion
         times.append((time.perf_counter() - t0) * 1e3)
     value = float(min(times))
 

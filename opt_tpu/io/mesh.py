@@ -193,7 +193,18 @@ def neighbor_lists(n_verts, faces):
     """(neighbour_idx, neighbour_offset) CSR arrays as the reference builds
     them from OpenMesh vv iteration (CombinedSolver.h:105-143).  Neighbor
     order within a ring differs from OpenMesh's halfedge order; energies sum
-    over edges so costs are order-invariant."""
+    over edges so costs are order-invariant.
+
+    Uses the native C graph builder when available
+    (opt_tpu/native/native.c neighbor_lists)."""
+    try:
+        from ..native.build import neighbor_lists as native_nl
+
+        out = native_nl(np.asarray(faces, np.int32), n_verts)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     adj = vertex_adjacency(n_verts, faces)
     offs = np.zeros(n_verts + 1, np.int32)
     idx = []

@@ -20,7 +20,19 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _unfilter(raw, height, stride, bpp):
-    """Reverse PNG per-scanline filtering (types 0-4)."""
+    """Reverse PNG per-scanline filtering (types 0-4).
+
+    Uses the native C implementation when available
+    (opt_tpu/native/native.c png_unfilter); this Python path is the
+    fallback."""
+    try:
+        from ..native.build import png_unfilter as native_unfilter
+
+        out = native_unfilter(raw, height, stride, bpp)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     out = np.zeros(height * stride, dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
