@@ -194,6 +194,15 @@ class CombinedSolver:
             self._add(dims, energy, "gaussNewtonGPU", "Opt(GN)")
         if p.useOptLM:
             self._add(dims, energy, "LMGPU", "Opt(LM)")
+        if p.useCeres:
+            # outside baseline in the Ceres role (CeresSolverBase parity):
+            # generic scipy TRF/LSMR over the same residual program
+            problem = self.state.problem_define(energy, "gaussNewtonGPU")
+            plan = self.state.problem_plan(problem, dims)
+            self.m_solverInfo.append(
+                {"plan": plan, "name": "Ceres", "iters": [],
+                 "baseline": True}
+            )
 
     def _add(self, dims, energy, kind, name):
         problem = self.state.problem_define(energy, kind)
@@ -227,6 +236,21 @@ class CombinedSolver:
         recording per-iteration (cost, ms)."""
         plan = s["plan"]
         p = self.m_combinedSolverParameters
+        if s.get("baseline"):
+            from opt_tpu.runtime.baseline import ScipyBaselineSolver
+
+            t0 = time.perf_counter()
+            out = ScipyBaselineSolver(plan).solve(
+                self.m_problemParams, max_nfev=p.nonLinearIter * p.numIter
+            )
+            ms = (time.perf_counter() - t0) * 1e3
+            s["iters"].append(SolverIteration(out["final_cost"], ms))
+            s["final_cost"] = self.final_cost = out["final_cost"]
+            print(f"final cost={out['final_cost']:.16f}")
+            for n, v in out["x"].items():
+                if n in self.m_problemParams:
+                    self.m_problemParams[n] = v
+            return
         plan.set_solver_parameter("nIterations", p.nonLinearIter)
         plan.set_solver_parameter("lIterations", p.linearIter)
         for k, v in self.m_solverParams.items():

@@ -164,6 +164,7 @@ class Plan:
         self.solver_params = dict(SOLVER_PARAMETER_DEFAULTS)
         self._state = None
         self._data = None
+        self._cleaned = False
         self.timer = KernelTimer(enabled=state.collect_kernel_timing)
 
     # -- parameters -----------------------------------------------------------
@@ -260,6 +261,7 @@ class Plan:
         """Opt_ProblemInit: bind data, compute initial cost."""
         x, data = self.bind(inputs)
         self._data = data
+        self._cleaned = False
         with self.timer.event("init"):
             self._state = self._init_fn(x, data, self._sp_device())
             jax.block_until_ready(self._state)
@@ -268,17 +270,36 @@ class Plan:
     Init = init
 
     def step(self):
-        """Opt_ProblemStep: one outer iteration; returns 1 while running."""
+        """Opt_ProblemStep: one outer iteration; returns 1 while running
+        (plan.step contract, solverGPUGaussNewton.t:1913-2349)."""
         assert self._state is not None, "call init() first"
         s = self._state
         if int(s["n_iter"]) >= int(self.solver_params["nIterations"]):
+            self._cleanup()
             return 0
         if bool(s["done"]):
+            self._cleanup()
             return 0
         with self.timer.event(f"step_{int(s['n_iter'])}"):
             self._state = self._step_fn(s, self._data, self._sp_device())
             jax.block_until_ready(self._state)
+        if self.state.verbosity > 1:
+            print(
+                f"--cost after step {int(s['n_iter'])}: "
+                f"{float(self._state['prev_cost']):.16f}"
+            )
         return 1
+
+    def _cleanup(self):
+        """Solver cleanup contract (solverGPUGaussNewton.t:1902-1910):
+        print 'final cost=' and the aggregated per-kernel timing table."""
+        if self._cleaned:
+            return
+        self._cleaned = True
+        if self.state.verbosity > 0:
+            print(f"final cost={self.final_cost():.16f}")
+        if self.state.collect_kernel_timing:
+            self.timer.evaluate()
 
     Step = step
 

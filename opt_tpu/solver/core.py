@@ -193,7 +193,8 @@ def make_solver(funcs, config: SolverConfig):
 
         def body(c):
             i = c["i"]
-            Ap = A(c["p"])
+            with jax.named_scope("PCGStep1_applyJTJ"):
+                Ap = A(c["p"])
             ad = tdot(c["p"], Ap)
             alpha = _safe_div(c["an"], ad)
             delta = taxpy(alpha, c["p"], c["delta"])
@@ -247,6 +248,7 @@ def make_solver(funcs, config: SolverConfig):
         def masks_apply(tree):
             return funcs.mask_unknown_tree(tree, masks)
 
+        scope = jax.named_scope
         if config.use_materialized_jacobian:
             # TPU-native CSR analogue: materialize the per-leaf partial
             # fields once per outer iteration (saveJToCRS parity,
@@ -323,10 +325,12 @@ def make_solver(funcs, config: SolverConfig):
             def A(p):
                 return masks_apply(jtj_apply(p))
 
-        delta = pcg_loop(A, pre, r, b, sp, masks_apply)
+        with scope("pcg_loop"):
+            delta = pcg_loop(A, pre, r, b, sp, masks_apply)
 
-        x_new = tadd(x, masks_apply(delta))
-        new_cost = funcs.cost(x_new, data)
+        with scope("linear_update_and_cost"):
+            x_new = tadd(x, masks_apply(delta))
+            new_cost = funcs.cost(x_new, data)
 
         if not uses_lambda:
             return {
