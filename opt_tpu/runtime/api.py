@@ -68,6 +68,7 @@ class OptState:
         collect_kernel_timing=False,
         use_materialized_jacobian=False,
         use_fused_jtj=False,
+        use_pallas=False,
         guarded_invert_type="CERES",
         jacobi_scaling="ONCE_PER_SOLVE",
     ):
@@ -80,6 +81,7 @@ class OptState:
         self.collect_kernel_timing = collect_kernel_timing
         self.use_materialized_jacobian = use_materialized_jacobian
         self.use_fused_jtj = use_fused_jtj
+        self.use_pallas = use_pallas
         self.guarded_invert_type = guarded_invert_type
         self.jacobi_scaling = jacobi_scaling
         self.dtype = jnp.float64 if double_precision else jnp.float32
@@ -141,6 +143,7 @@ class Plan:
             jacobi_scaling=state.jacobi_scaling,
             use_materialized_jacobian=state.use_materialized_jacobian,
             use_fused_jtj=state.use_fused_jtj,
+            use_pallas_pcg=state.use_pallas,
         )
         init_fn, step_fn, cost_fn, solve_fn = make_solver(
             self.funcs, self.config

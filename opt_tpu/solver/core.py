@@ -126,6 +126,7 @@ class SolverConfig:
         jacobi_scaling="ONCE_PER_SOLVE",
         use_materialized_jacobian=False,
         use_fused_jtj=False,
+        use_pallas_pcg=False,
     ):
         assert guarded_invert_type in GUARDED_INVERT_TYPES
         assert jacobi_scaling in JACOBI_SCALING_TYPES
@@ -134,6 +135,7 @@ class SolverConfig:
         self.jacobi_scaling = jacobi_scaling
         self.use_materialized_jacobian = use_materialized_jacobian
         self.use_fused_jtj = use_fused_jtj
+        self.use_pallas_pcg = use_pallas_pcg
 
 
 def make_solver(funcs, config: SolverConfig):
@@ -169,6 +171,31 @@ def make_solver(funcs, config: SolverConfig):
 
     def pcg_loop(A, pre, r_init, b, sp, masks_apply):
         """The PCG inner loop.  A: p -> (J^T J + CtC) p, pre: M^-1 diag."""
+        # optional fused Pallas Step2 (opt_tpu/ops/pcg_pallas.py); falls
+        # back to interpret mode off-TPU so tests cover the kernel
+        if config.use_pallas_pcg:
+            from ..ops.pcg_pallas import fused_pcg_update
+
+            treedef = jax.tree_util.tree_structure(r_init)
+            shapes = [v.shape for v in jax.tree_util.tree_leaves(r_init)]
+            import math
+            sizes = [math.prod(s) for s in shapes]
+
+            def tflat(t):
+                return jnp.concatenate(
+                    [v.reshape(-1) for v in jax.tree_util.tree_leaves(t)]
+                )
+
+            def tunflat(vec):
+                parts = []
+                o = 0
+                for s, n in zip(shapes, sizes):
+                    parts.append(vec[o : o + n].reshape(s))
+                    o += n
+                return jax.tree_util.tree_unflatten(treedef, parts)
+
+            interp = jax.default_backend() != "tpu"
+
         L = jnp.asarray(sp["lIterations"], jnp.int32)
         period = jnp.asarray(sp["residual_reset_period"], jnp.int32)
         q_tol = jnp.asarray(sp["q_tolerance"], dtype)
@@ -210,6 +237,27 @@ def make_solver(funcs, config: SolverConfig):
 
                 do_reset = ((i + 1) % period) == 0
                 r = jax.lax.cond(do_reset, reset_branch, normal_branch, None)
+            elif config.use_pallas_pcg:
+                d2, r2, z2, bn_f, _qf = fused_pcg_update(
+                    alpha, tflat(c["p"]), tflat(Ap), tflat(c["delta"]),
+                    tflat(c["r"]), tflat(pre), tflat(c["r"]),
+                    uses_lambda=False, interpret=interp,
+                )
+                delta = tunflat(d2)
+                r = tunflat(r2)
+                z = tunflat(z2)
+                bn = bn_f
+                beta = _safe_div(bn, c["an"])
+                p = taxpy(beta, c["p"], z)
+                return {
+                    "delta": delta,
+                    "r": r,
+                    "p": p,
+                    "an": bn,
+                    "Q0": c["Q0"],
+                    "i": i + 1,
+                    "brk": c["brk"],
+                }
             else:
                 r = taxpy(-alpha, Ap, c["r"])
 

@@ -1,0 +1,91 @@
+"""API-surface tests: exec-style energy files, double precision,
+timing-report contract, CamelCase parity aliases."""
+
+import os
+
+import numpy as np
+import pytest
+
+import opt_tpu
+
+
+ENERGY_FILE_SRC = '''
+# exec-style energy: reference .t files port to this form by dropping
+# the `local` keywords (problemSpecFromFile parity)
+W, H = Dim("W", 0), Dim("H", 1)
+X = Unknown("X", opt_float2, (W, H), 0)
+A = Array("A", opt_float2, (W, H), 1)
+w = Param("w", float, 2)
+UsePreconditioner(True)
+for x, y in Stencil([(1, 0), (0, 1)]):
+    Energy(Select(InBounds(x, y), w * (X(0, 0) - X(x, y)), 0))
+Energy(X(0, 0) - A(0, 0))
+'''
+
+
+def _inputs(W, H, rng):
+    return {
+        "X": rng.randn(H, W, 2),
+        "A": rng.randn(H, W, 2),
+        "w": 0.5,
+    }
+
+
+def test_energy_from_file(tmp_path):
+    path = tmp_path / "my_energy.py"
+    path.write_text(ENERGY_FILE_SRC)
+    rng = np.random.RandomState(0)
+    state = opt_tpu.NewState()
+    plan = state.ProblemPlan(
+        state.ProblemDefine(str(path), "gaussNewtonGPU"), [6, 5]
+    )
+    plan.SetSolverParameter("nIterations", 2)
+    plan.SetSolverParameter("lIterations", 5)
+    plan.Init(_inputs(6, 5, rng))
+    c0 = plan.final_cost()
+    while plan.Step():
+        pass
+    assert plan.final_cost() < c0
+    assert np.isfinite(plan.CurrentCost())
+
+
+def test_double_precision_matches_float_loosely():
+    from tests.test_solver_dense import warp_energy, warp_inputs
+
+    inputs = warp_inputs(6, 5, seed=12)
+    costs = {}
+    for dbl in (False, True):
+        state = opt_tpu.NewState(double_precision=dbl)
+        plan = state.problem_plan(
+            state.problem_define(warp_energy, "gaussNewtonGPU"), [6, 5]
+        )
+        plan.set_solver_parameter("nIterations", 2)
+        plan.set_solver_parameter("lIterations", 5)
+        plan.init(inputs)
+        while plan.step():
+            pass
+        costs[dbl] = plan.final_cost()
+        assert plan.unknowns()["Offset"].dtype == (
+            np.float64 if dbl else np.float32
+        )
+    assert costs[True] == pytest.approx(costs[False], rel=1e-4)
+
+
+def test_timing_report_contract(capsys):
+    """Per-kernel table + TIMING line (backend_cpu.t:245-312 contract)."""
+    from tests.test_solver_dense import warp_energy, warp_inputs
+
+    state = opt_tpu.NewState(collect_kernel_timing=True, verbosity=1)
+    plan = state.problem_plan(
+        state.problem_define(warp_energy, "gaussNewtonGPU"), [6, 5]
+    )
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 3)
+    plan.init(warp_inputs(6, 5, seed=1))
+    while plan.step():
+        pass
+    out = capsys.readouterr().out
+    assert "final cost=" in out
+    assert "Kernel" in out and "Count" in out and "Average" in out
+    assert "TIMING " in out
+    assert "step_0" in out and "step_1" in out
