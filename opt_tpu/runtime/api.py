@@ -351,6 +351,39 @@ class Plan:
         assert self._state is not None
         return {k: np.asarray(v) for k, v in self._state["x"].items()}
 
+    # -- checkpoint / resume ----------------------------------------------------
+    # The reference's only resumability is the Init/Step split plus LM's
+    # prevX rollback (SURVEY §5); here the full solver state (unknowns,
+    # published cost, trust region, SSq, iteration counter) round-trips
+    # through a single .npz, so a solve can resume across processes.
+
+    def save_state(self, path):
+        assert self._state is not None, "nothing to save; call init() first"
+        flat = {}
+        for k, v in self._state.items():
+            if isinstance(v, dict):
+                for n, arr in v.items():
+                    flat[f"{k}.{n}"] = np.asarray(arr)
+            else:
+                flat[k] = np.asarray(v)
+        np.savez(path, **flat)
+
+    def load_state(self, path):
+        assert self._data is not None, "bind data first (init or solve)"
+        loaded = np.load(path)
+        state = {"x": {}, "ssq": {}}
+        for key in loaded.files:
+            if "." in key:
+                group, name = key.split(".", 1)
+                state.setdefault(group, {})[name] = jnp.asarray(
+                    loaded[key]
+                )
+            else:
+                state[key] = jnp.asarray(loaded[key])
+        self._state = state
+        self._cleaned = False
+        return self
+
     @property
     def x(self):
         return self._state["x"]

@@ -89,3 +89,40 @@ def test_timing_report_contract(capsys):
     assert "Kernel" in out and "Count" in out and "Average" in out
     assert "TIMING " in out
     assert "step_0" in out and "step_1" in out
+
+
+def test_checkpoint_resume(tmp_path):
+    """Solver state round-trips through .npz; resumed steps match an
+    uninterrupted run exactly."""
+    from tests.test_solver_dense import warp_energy, warp_inputs
+
+    inputs = warp_inputs(6, 5, seed=20)
+
+    def make_plan():
+        state = opt_tpu.NewState()
+        plan = state.problem_plan(
+            state.problem_define(warp_energy, "LMGPU"), [6, 5]
+        )
+        plan.set_solver_parameter("nIterations", 4)
+        plan.set_solver_parameter("lIterations", 5)
+        return plan
+
+    ref = make_plan()
+    ref.init(inputs)
+    for _ in range(4):
+        ref.step()
+    want = ref.final_cost()
+
+    a = make_plan()
+    a.init(inputs)
+    a.step()
+    a.step()
+    ckpt = tmp_path / "solve.npz"
+    a.save_state(ckpt)
+
+    b = make_plan()
+    b.init(inputs)  # binds data
+    b.load_state(ckpt)
+    b.step()
+    b.step()
+    assert b.final_cost() == pytest.approx(want, rel=1e-7)
