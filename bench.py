@@ -64,8 +64,7 @@ def main():
     sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
 
     def run():
-        st = plan._init_fn(x, data, sp)
-        st = plan._solve_fn(st, data, sp)
+        st = plan._full_solve_fn(x, data, sp)
         jax.block_until_ready(st)
         return st
 
@@ -81,8 +80,7 @@ def main():
         x_rep["Offset"] = x["Offset"] + np.float32(rep * 1e-6)
         jax.block_until_ready(x_rep)
         t0 = time.perf_counter()
-        st = plan._init_fn(x_rep, data, sp)
-        st = plan._solve_fn(st, data, sp)
+        st = plan._full_solve_fn(x_rep, data, sp)
         _ = float(st["prev_cost"])  # host fetch = honest completion
         times.append((time.perf_counter() - t0) * 1e3)
     value = float(min(times))

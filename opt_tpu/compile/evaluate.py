@@ -272,6 +272,37 @@ class EvalContext:
         # diag(J^T J) computation to re-route unknown reads through explicit
         # leaf inputs (see plan.py).
         self.leaf_overrides = None
+        # per-(graph, slot) batched gathers: one wide take per slot instead
+        # of one per (image, channel) read.  XLA TPU row-gathers cost
+        # ~0.3 ms each at 60k rows, so the op count dominates graph-domain
+        # performance; batching gives one gather (and one scatter in the
+        # transpose) per vertex slot.
+        self._slot_cache = {}
+
+    def _slot_gather(self, gname, slot, n_verts):
+        key = (gname, slot, n_verts)
+        hit = self._slot_cache.get(key)
+        if hit is not None:
+            return hit
+        vidx = self.graph_indices[gname][slot]
+        # concatenate every vertex array on this slot's vertex space; per
+        # (image, channel) reads are cheap slices of the gathered block
+        parts = []
+        offsets = {}
+        off = 0
+        for n in sorted(self.images):
+            arr = self.images[n]
+            if arr.ndim != 2 or arr.shape[0] != n_verts:
+                continue
+            offsets[n] = off
+            parts.append(arr)
+            off += arr.shape[-1]
+        big = (
+            jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        )
+        gathered = jnp.take(big, vidx, axis=0)
+        self._slot_cache[key] = (gathered, offsets)
+        return gathered, offsets
 
     # -- leaf reads --
 
@@ -285,16 +316,22 @@ class EvalContext:
         idx = access.index
         if isinstance(idx, E.Offset):
             return shift_read(chan, idx.data)
-        # graph gather: vertex arrays are 1-D per channel
-        vidx = self.graph_indices[idx.graph.name][idx.slot]
-        return jnp.take(chan, vidx, axis=0)
+        # graph gather: one batched take per slot, then slice the channel
+        gathered, offsets = self._slot_gather(
+            idx.graph.name, idx.slot, img.shape[0]
+        )
+        col = offsets[access.image.name] + access.channel
+        return gathered[:, col]
 
     def eval(self, e):
-        r = self.memo.get(id(e))
-        if r is not None:
-            return r
+        # memo entries hold the expression object itself: id() keys are
+        # only unique while the object is alive, and callers may pass
+        # temporaries (a freed node's id can be reused by a new node)
+        hit = self.memo.get(id(e))
+        if hit is not None:
+            return hit[1]
         r = self._eval(e)
-        self.memo[id(e)] = r
+        self.memo[id(e)] = (e, r)
         return r
 
     def _eval(self, e):

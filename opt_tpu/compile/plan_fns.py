@@ -215,7 +215,10 @@ class ProblemFunctions:
             if not leaves:
                 continue
             keys = [a.key() for a in leaves]
-            leaf_vals = tuple(_leaf_read(a, x, gidx) for a in leaves)
+            # read leaf values through a context so graph reads share one
+            # batched gather per vertex slot (EvalContext._slot_gather)
+            read_ctx = self._ctx(g, x, data)
+            leaf_vals = tuple(read_ctx.read_image(a) for a in leaves)
 
             def gfun(vals, g=g, keys=keys):
                 ctx = self._ctx(g, x, data)

@@ -98,10 +98,22 @@ class OptState:
             pass
         return plan.current_cost()
 
+    def problem_delete(self, problem):
+        """Opt_ProblemDelete parity (Opt.h:56): lifetimes are Python-managed;
+        kept for drop-in compatibility."""
+
+    def plan_free(self, plan):
+        """Opt_PlanFree parity (Opt.h:54): releases device buffers held by
+        the plan's bound state."""
+        plan._state = None
+        plan._data = None
+
     # CamelCase aliases for reference-API parity
     ProblemDefine = problem_define
     ProblemPlan = problem_plan
     ProblemSolve = problem_solve
+    ProblemDelete = problem_delete
+    PlanFree = plan_free
 
 
 def NewState(**kwargs):
@@ -145,7 +157,7 @@ class Plan:
             use_fused_jtj=state.use_fused_jtj,
             use_pallas_pcg=state.use_pallas,
         )
-        init_fn, step_fn, cost_fn, solve_fn = make_solver(
+        init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = make_solver(
             self.funcs, self.config
         )
         # raw (unjitted) versions, e.g. for the driver's compile checks
@@ -153,16 +165,19 @@ class Plan:
         self.raw_step_fn = step_fn
         self.raw_cost_fn = cost_fn
         self.raw_solve_fn = solve_fn
+        self.raw_full_solve_fn = full_solve_fn
         if jit:
             self._init_fn = jax.jit(init_fn)
             self._step_fn = jax.jit(step_fn)
             self._cost_fn = jax.jit(cost_fn)
             self._solve_fn = jax.jit(solve_fn)
+            self._full_solve_fn = jax.jit(full_solve_fn)
         else:
             self._init_fn = init_fn
             self._step_fn = step_fn
             self._cost_fn = cost_fn
             self._solve_fn = solve_fn
+            self._full_solve_fn = full_solve_fn
 
         self.solver_params = dict(SOLVER_PARAMETER_DEFAULTS)
         self._state = None
@@ -316,12 +331,11 @@ class Plan:
         sp = self._sp_device()
         if on_device:
             with self.timer.event("solve"):
-                st = self._init_fn(x, data, sp)
                 sp_full = dict(sp)
                 sp_full["nIterations"] = jnp.asarray(
                     int(self.solver_params["nIterations"]), jnp.int32
                 )
-                self._state = self._solve_fn(st, data, sp_full)
+                self._state = self._full_solve_fn(x, data, sp_full)
                 jax.block_until_ready(self._state)
         else:
             self.init(inputs)

@@ -447,6 +447,10 @@ def make_solver(funcs, config: SolverConfig):
     def cost_fn(state, data):
         return funcs.cost(state["x"], data)
 
+    def full_solve_fn(x, data, sp):
+        """init + whole outer loop in one program (single dispatch)."""
+        return solve_fn(init_fn(x, data, sp), data, sp)
+
     def solve_fn(state, data, sp):
         """Whole solve on device: while n_iter < nIterations and not done."""
         n_max = jnp.asarray(sp["nIterations"], jnp.int32)
@@ -459,4 +463,4 @@ def make_solver(funcs, config: SolverConfig):
 
         return jax.lax.while_loop(cond, body, state)
 
-    return init_fn, step_fn, cost_fn, solve_fn
+    return init_fn, step_fn, cost_fn, solve_fn, full_solve_fn

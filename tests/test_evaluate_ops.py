@@ -1,0 +1,153 @@
+"""Unit tests for the expression evaluator's op table and guards."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opt_tpu.dsl import expr as E
+from opt_tpu.compile import evaluate as ev
+
+
+def _ctx(shape=(3, 4), **imgs):
+    return ev.EvalContext("grid", shape, imgs, {}, {}, jnp.float32)
+
+
+def _leaf(name, arr):
+    class _Im:
+        pass
+
+    im = _Im()
+    im.name = name
+    im.is_unknown = False
+    return im
+
+
+def _img_access(name, ch=0, off=(0, 0)):
+    im = _leaf(name, None)
+    return E.ImageAccess(im, E.Offset(off), ch)
+
+
+RNG = np.random.RandomState(0)
+A = RNG.rand(3, 4, 1).astype(np.float32) + 0.5
+B = RNG.rand(3, 4, 1).astype(np.float32) + 0.5
+
+
+@pytest.mark.parametrize(
+    "op,npfun",
+    [
+        ("add", np.add), ("sub", np.subtract), ("mul", np.multiply),
+        ("div", np.divide), ("pow", np.power),
+        ("atan2", np.arctan2),
+    ],
+)
+def test_binary_ops(op, npfun):
+    e = E.Apply(op, (_img_access("a"), _img_access("b")))
+    out = _ctx(a=jnp.asarray(A), b=jnp.asarray(B)).eval(e)
+    np.testing.assert_allclose(
+        np.asarray(out), npfun(A[..., 0], B[..., 0]), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "op,npfun",
+    [
+        ("sqrt", np.sqrt), ("sin", np.sin), ("cos", np.cos),
+        ("tan", np.tan), ("exp", np.exp), ("log", np.log),
+        ("log10", np.log10), ("abs", np.abs), ("tanh", np.tanh),
+        ("sinh", np.sinh), ("cosh", np.cosh), ("atan", np.arctan),
+        ("asinh", np.arcsinh),
+    ],
+)
+def test_unary_ops(op, npfun):
+    e = E.Apply(op, (_img_access("a"),))
+    out = _ctx(a=jnp.asarray(A)).eval(e)
+    np.testing.assert_allclose(
+        np.asarray(out), npfun(A[..., 0]), rtol=1e-5
+    )
+
+
+def test_comparisons_and_logic():
+    a, b = _img_access("a"), _img_access("b")
+    for op, npfun in [
+        ("less", np.less), ("greater", np.greater),
+        ("lesseq", np.less_equal), ("greatereq", np.greater_equal),
+        ("eq", np.equal),
+    ]:
+        out = _ctx(a=jnp.asarray(A), b=jnp.asarray(B)).eval(
+            E.Apply(op, (a, b))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out), npfun(A[..., 0], B[..., 0])
+        )
+    c1 = E.Apply("greater", (a, b))
+    c2 = E.Apply("less", (a, b))
+    ctx = _ctx(a=jnp.asarray(A), b=jnp.asarray(B))
+    np.testing.assert_array_equal(
+        np.asarray(ctx.eval(E.Apply("or_", (c1, c2)))),
+        (A[..., 0] > B[..., 0]) | (A[..., 0] < B[..., 0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ctx.eval(E.Apply("not_", (c1,)))),
+        ~(A[..., 0] > B[..., 0]),
+    )
+    # bool * bool is logical and (ad.and_ parity, ad.t:873)
+    np.testing.assert_array_equal(
+        np.asarray(ctx.eval(E.Apply("mul", (c1, c2)))),
+        (A[..., 0] > B[..., 0]) & (A[..., 0] < B[..., 0]),
+    )
+
+
+def test_select_numeric_condition():
+    a, b = _img_access("a"), _img_access("b")
+    cond = E.Apply("sub", (a, a))  # zeros -> false everywhere
+    out = _ctx(a=jnp.asarray(A), b=jnp.asarray(B)).eval(
+        E.Apply("select", (cond, a, b))
+    )
+    np.testing.assert_allclose(np.asarray(out), B[..., 0])
+
+
+def test_safe_grads_are_finite_at_singularities():
+    for f, x in [
+        (ev.safe_sqrt, 0.0),
+        (ev.safe_log, 0.0),
+        (lambda v: ev.safe_div(1.0, v), 0.0),
+        (lambda v: ev.safe_pow(v, 0.5), 0.0),
+    ]:
+        g = jax.grad(lambda v: f(v))(jnp.float32(x))
+        assert np.isfinite(float(g)), (f, x)
+
+
+def test_index_value_and_inbounds_expanded():
+    # Index(0) = x coordinate; InBoundsExpanded(0,0,1) excludes the border
+    e = E.IndexValue(0, 0)
+    out = _ctx().eval(e)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.broadcast_to(out, (3, 4)))[0], [0, 1, 2, 3]
+    )
+    m = ev.bounds_mask((3, 4), (-1, -1), (1, 1))
+    ref = np.zeros((3, 4), bool)
+    ref[1:-1, 1:-1] = True
+    np.testing.assert_array_equal(np.asarray(m), ref)
+
+
+def test_bilinear_sample_matches_manual():
+    img = jnp.asarray(RNG.rand(5, 6).astype(np.float32))
+    x = jnp.asarray([1.25, 0.0, 4.9, -1.0, 6.2], jnp.float32)
+    y = jnp.asarray([2.5, 0.0, 3.9, 2.0, 2.0], jnp.float32)
+    out = np.asarray(ev.bilinear_sample(img, x, y))
+    ref = []
+    for xi, yi in zip(np.asarray(x), np.asarray(y)):
+        x0, x1 = np.floor(xi), np.ceil(xi)
+        y0, y1 = np.floor(yi), np.ceil(yi)
+        xn, yn = xi - x0, yi - y0
+
+        def get(xx, yy):
+            if 0 <= xx < 6 and 0 <= yy < 5:
+                return float(img[int(yy), int(xx)])
+            return 0.0
+
+        top = (1 - xn) * get(x0, y0) + xn * get(x1, y0)
+        bot = (1 - xn) * get(x0, y1) + xn * get(x1, y1)
+        ref.append((1 - yn) * top + yn * bot)
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
