@@ -69,6 +69,10 @@ def run(argv=None):
         verts, graph, params, args.backend, args.numthreads
     )
     solver.solve_all()
+    if not args.noOutput:
+        from opt_tpu.io.mesh import write_off
+
+        write_off("out.off", solver.result(), faces)
     return solver
 
 

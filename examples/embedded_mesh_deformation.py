@@ -110,6 +110,10 @@ def run(argv=None):
         verts, graph, landmarks, params, args.backend, args.numthreads
     )
     solver.solve_all()
+    if not args.noOutput:
+        from opt_tpu.io.mesh import write_ply
+
+        write_ply("out_embedded.ply", solver.result(), faces)
     return solver
 
 

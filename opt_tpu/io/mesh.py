@@ -333,3 +333,40 @@ def ring_graph(n_verts, faces):
         "v2": np.asarray(prev, np.int32),
         "v3": np.asarray(nxt, np.int32),
     }
+
+
+def write_ply(path, verts, faces=None, colors=None):
+    """ASCII PLY writer (reference examples write out.ply via OpenMesh)."""
+    verts = np.asarray(verts)
+    lines = ["ply", "format ascii 1.0", f"element vertex {len(verts)}",
+             "property float x", "property float y", "property float z"]
+    if colors is not None:
+        lines += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
+    nf = 0 if faces is None else len(faces)
+    lines += [f"element face {nf}",
+              "property list uchar int vertex_indices", "end_header"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        for i, v in enumerate(verts):
+            row = f"{v[0]} {v[1]} {v[2]}"
+            if colors is not None:
+                c = colors[i]
+                row += f" {int(c[0])} {int(c[1])} {int(c[2])}"
+            f.write(row + "\n")
+        if faces is not None:
+            for a, b, c in faces:
+                f.write(f"3 {a} {b} {c}\n")
+
+
+def write_off(path, verts, faces):
+    """ASCII OFF writer (cotangent example writes out.off)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(verts)} {len(faces)} 0\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in faces:
+            f.write(f"3 {a} {b} {c}\n")
