@@ -36,6 +36,28 @@ def has_data():
     return os.path.isdir(data_dir())
 
 
+def _apply_args_config(parser):
+    """args.config fallback (ArgParser.h:60-69): key=value lines become
+    defaults; explicit command-line flags take precedence."""
+    path = os.path.join(os.getcwd(), "args.config")
+    if not os.path.exists(path):
+        return
+    overrides = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            k, v = (s.strip() for s in line.split("=", 1))
+            overrides[k] = v
+    for action in parser._actions:
+        if action.dest in overrides:
+            v = overrides[action.dest]
+            if action.type is not None:
+                v = action.type(v)
+            action.default = v
+
+
 def make_arg_parser():
     """Flag set of the reference CLI (ArgParser.h:19-50)."""
     p = argparse.ArgumentParser()
@@ -67,6 +89,7 @@ def make_arg_parser():
     p.add_argument("--file", type=int, default=1)
     p.add_argument("--double", type=str2bool, nargs="?", const=True,
                    default=False, help="double-precision unknowns")
+    _apply_args_config(p)
     return p
 
 
