@@ -149,6 +149,39 @@ def shift_read(a, offsets):
     return padded[slices]
 
 
+def shift_read_roll(a, offsets):
+    """shift_read computed with roll + iota masks instead of pad + slice.
+
+    Same values; used inside Pallas kernels where Mosaic cannot type the
+    unaligned intermediates that jnp.pad / jnp.roll's slice+concat produce
+    (opt_tpu/ops/vmem_solver.py).  Uses the Mosaic-native pltpu.roll when
+    tracing inside a Pallas kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _roll(v, shift, axis):
+        try:
+            return pltpu.roll(v, shift % v.shape[axis], axis)
+        except Exception:
+            return jnp.roll(v, shift, axis)
+
+    nd = a.ndim
+    out = a
+    for axis in range(nd):
+        o = int(offsets[nd - 1 - axis])
+        if o == 0:
+            continue
+        n = a.shape[axis]
+        out = _roll(out, -o, axis)
+        coord = jax.lax.broadcasted_iota(jnp.int32, out.shape, axis)
+        valid = (coord < n - o) if o > 0 else (coord >= -o)
+        out = jnp.where(valid, out, jnp.zeros((), out.dtype))
+    return out
+
+
+def scatter_shift_roll(a, offsets):
+    return shift_read_roll(a, tuple(-int(o) for o in offsets))
+
+
 def scatter_shift(a, offsets):
     """Adjoint of shift_read: out[p] = a[p - offset], zero outside.
 
@@ -157,25 +190,38 @@ def scatter_shift(a, offsets):
     return shift_read(a, tuple(-int(o) for o in offsets))
 
 
-@functools.lru_cache(maxsize=None)
-def _bounds_mask_cached(shape, mins, maxs):
-    import numpy as np
+def bounds_mask(shape, mins, maxs, real_shape=None):
+    """InBounds mask over the grid (genbounds, o.t:585-607).
 
+    Computed with iota + compares (no materialized constants), so it works
+    identically under jit, inside lax loops, and inside Pallas kernels.
+    real_shape: when arrays are padded for hardware alignment (e.g. the
+    VMEM Pallas solver pads the lane dim to 128), bounds semantics follow
+    the REAL domain sizes."""
     nd = len(shape)
-    m = np.ones(shape, dtype=bool)
+    real = tuple(real_shape) if real_shape is not None else tuple(shape)
+    m = None
     for i in range(len(mins)):
         axis = nd - 1 - i
-        size = shape[axis]
-        coord = np.arange(size).reshape(
-            (1,) * axis + (size,) + (1,) * (nd - axis - 1)
-        )
-        m &= (coord >= -mins[i]) & (coord < size - maxs[i])
+        coord = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+        mi = (coord >= -int(mins[i])) & (coord < int(real[axis]) - int(maxs[i]))
+        m = mi if m is None else (m & mi)
+    if m is None:
+        m = jnp.ones(shape, bool)
     return m
 
 
-def bounds_mask(shape, mins, maxs):
-    """InBounds mask over the grid (genbounds, o.t:585-607)."""
-    return jnp.asarray(_bounds_mask_cached(tuple(shape), tuple(mins), tuple(maxs)))
+def real_domain_mask(shape, real_shape):
+    """True inside the real (unpadded) domain."""
+    nd = len(shape)
+    m = None
+    for axis in range(nd):
+        if shape[axis] == real_shape[axis]:
+            continue
+        coord = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+        mi = coord < int(real_shape[axis])
+        m = mi if m is None else (m & mi)
+    return m
 
 
 def index_coords(shape, dim, shift, dtype):
@@ -260,9 +306,12 @@ class EvalContext:
     graph_indices: graph_name -> slot_name -> (E,) int32 array
     """
 
-    def __init__(self, domain, shape, images, params, graph_indices, dtype):
+    def __init__(self, domain, shape, images, params, graph_indices, dtype,
+                 real_shape=None, shift_impl=None):
         self.domain = domain
         self.shape = shape  # grid spatial shape, or (E,) for graphs
+        self.real_shape = real_shape  # real sizes when arrays are padded
+        self.shift_impl = shift_impl or shift_read
         self.images = images
         self.params = params
         self.graph_indices = graph_indices
@@ -312,10 +361,15 @@ class EvalContext:
             if ov is not None:
                 return ov
         img = self.images[access.image.name]
-        chan = img[..., access.channel]
+        if isinstance(img, (list, tuple)):
+            # channel-plane representation (Pallas kernels: Mosaic cannot
+            # slice non-zero channels out of channel-last arrays)
+            chan = img[access.channel]
+        else:
+            chan = img[..., access.channel]
         idx = access.index
         if isinstance(idx, E.Offset):
-            return shift_read(chan, idx.data)
+            return self.shift_impl(chan, idx.data)
         # graph gather: one batched take per slot, then slice the channel
         gathered, offsets = self._slot_gather(
             idx.graph.name, idx.slot, img.shape[0]
@@ -345,7 +399,7 @@ class EvalContext:
         if isinstance(e, E.BoundsAccess):
             if self.domain != "grid":
                 raise ValueError("InBounds used in a graph residual")
-            return bounds_mask(self.shape, e.mins, e.maxs)
+            return bounds_mask(self.shape, e.mins, e.maxs, self.real_shape)
         if isinstance(e, E.IndexValue):
             if self.domain != "grid":
                 raise ValueError("Index used in a graph residual")

@@ -41,9 +41,19 @@ def _leaf_read(access, x, graph_indices):
 
 
 class ProblemFunctions:
-    def __init__(self, spec, dtype):
+    def __init__(self, spec, dtype, real_shapes=None, kernel_safe=False):
         self.spec = spec
         self.dtype = dtype
+        # ispace key -> real spatial shape, when the spec's dims are padded
+        # for hardware alignment (opt_tpu/ops/vmem_solver.py)
+        self.real_shapes = real_shapes or {}
+        # roll-based shifts for Pallas-kernel execution (Mosaic cannot
+        # type jnp.pad's unaligned intermediates)
+        self.kernel_safe = kernel_safe
+        self._shift = ev.shift_read_roll if kernel_safe else ev.shift_read
+        self._scatter = (
+            ev.scatter_shift_roll if kernel_safe else ev.scatter_shift
+        )
         self.groups = classify_terms(spec)
         self.excludes = classify_excludes(spec)  # ispace key -> exprs
         self.use_preconditioner = spec.use_preconditioner
@@ -84,6 +94,9 @@ class ProblemFunctions:
 
     def _ctx(self, group, x, data):
         images = self._images(x, data)
+        real = None
+        if group.kind == "centered":
+            real = self.real_shapes.get(group.ispace.key())
         return ev.EvalContext(
             domain="grid" if group.kind == "centered" else "graph",
             shape=self._group_shape(group, data),
@@ -91,13 +104,16 @@ class ProblemFunctions:
             params=data["params"],
             graph_indices=data.get("graph_indices", {}),
             dtype=self.dtype,
+            real_shape=real,
+            shift_impl=self._shift,
         )
 
     def exclude_mask(self, ispace_key, x, data):
         """Boolean 'excluded' mask over one index space, or None."""
         exprs = self.excludes.get(ispace_key)
-        if not exprs:
+        if not exprs and ispace_key not in self.real_shapes:
             return None
+        exprs = exprs or []
         shape = None
         for im in self.spec.images.values():
             if im.ispace.key() == ispace_key:
@@ -111,6 +127,8 @@ class ProblemFunctions:
             params=data["params"],
             graph_indices=data.get("graph_indices", {}),
             dtype=self.dtype,
+            real_shape=self.real_shapes.get(ispace_key),
+            shift_impl=self._shift,
         )
         m = None
         for e in exprs:
@@ -118,10 +136,16 @@ class ProblemFunctions:
             v = v if v.dtype == jnp.bool_ else (v != 0)
             v = jnp.broadcast_to(v, shape)
             m = v if m is None else (m | v)
+        real = self.real_shapes.get(ispace_key)
+        if real is not None:
+            rm = ev.real_domain_mask(shape, real)
+            if rm is not None:
+                m = (~rm) if m is None else (m | (~rm))
         return m
 
     def unknown_masks(self, x, data):
-        """Per-unknown 'excluded' masks, shaped (*spatial, 1), or None."""
+        """Per-unknown 'excluded' masks ((*spatial, 1), or (*spatial) in
+        channel-plane/kernel_safe mode), or None."""
         cache = {}
         out = {}
         for n, im in self.unknowns.items():
@@ -129,14 +153,21 @@ class ProblemFunctions:
             if k not in cache:
                 cache[k] = self.exclude_mask(k, x, data)
             m = cache[k]
-            out[n] = None if m is None else m[..., None]
+            if m is None:
+                out[n] = None
+            else:
+                out[n] = m if self.kernel_safe else m[..., None]
         return out
 
     def mask_unknown_tree(self, tree, masks):
-        return {
-            n: (v if masks[n] is None else jnp.where(masks[n], 0.0, v))
-            for n, v in tree.items()
-        }
+        def apply(m, v):
+            if m is None:
+                return v
+            if isinstance(v, (list, tuple)):
+                return [jnp.where(m, 0.0, p) for p in v]
+            return jnp.where(m, 0.0, v)
+
+        return {n: apply(masks[n], v) for n, v in tree.items()}
 
     # -- residual fields -------------------------------------------------------
 
@@ -146,12 +177,18 @@ class ProblemFunctions:
         for g in self.groups:
             ctx = self._ctx(g, x, data)
             fields = [ev.eval_field(e, ctx) for e in g.exprs]
-            f = jnp.stack(fields)
+            if g.kind == "centered" and ctx.real_shape is not None:
+                rm = ev.real_domain_mask(ctx.shape, ctx.real_shape)
+                if rm is not None:
+                    fields = [jnp.where(rm, f, 0.0) for f in fields]
             if masked and g.kind == "centered":
                 m = self.exclude_mask(g.ispace.key(), x, data)
                 if m is not None:
-                    f = jnp.where(m[None], 0.0, f)
-            out.append(f)
+                    fields = [jnp.where(m, 0.0, f) for f in fields]
+            if self.kernel_safe:
+                out.append(fields)  # list of planes (no channel stacking)
+            else:
+                out.append(jnp.stack(fields))
         return out
 
     def residuals_solve(self, x, data):
@@ -160,7 +197,7 @@ class ProblemFunctions:
     def cost(self, x, data):
         fields = self.residual_fields(x, data, masked=True)
         total = jnp.zeros((), dtype=self.dtype)
-        for f in fields:
+        for f in jax.tree_util.tree_leaves(fields):
             total = total + 0.5 * jnp.sum(f * f)
         return total
 
@@ -169,12 +206,18 @@ class ProblemFunctions:
         jd = jvp_fn(delta)
         total = jnp.zeros((), dtype=self.dtype)
         for g, f0, fd in zip(self.groups, r0, jd):
-            f = f0 + fd
+            f = jax.tree_util.tree_map(jnp.add, f0, fd)
             if g.kind == "centered":
                 m = self.exclude_mask(g.ispace.key(), x, data)
                 if m is not None:
-                    f = jnp.where(m[None], 0.0, f)
-            total = total + 0.5 * jnp.sum(f * f)
+                    mask_nd = (
+                        m if self.kernel_safe else m[None]
+                    )
+                    f = jax.tree_util.tree_map(
+                        lambda v: jnp.where(mask_nd, 0.0, v), f
+                    )
+            for leaf in jax.tree_util.tree_leaves(f):
+                total = total + 0.5 * jnp.sum(leaf * leaf)
         return total
 
     # -- linearization ---------------------------------------------------------
@@ -223,7 +266,17 @@ class ProblemFunctions:
             def gfun(vals, g=g, keys=keys):
                 ctx = self._ctx(g, x, data)
                 ctx.leaf_overrides = dict(zip(keys, vals))
-                return jnp.stack([ev.eval_field(e, ctx) for e in g.exprs])
+                fields = [ev.eval_field(e, ctx) for e in g.exprs]
+                if g.kind == "centered" and ctx.real_shape is not None:
+                    # rows centered in the padding do not exist in the
+                    # real problem (their InBounds guards test neighbors,
+                    # not the center) -- zero them like residual_fields
+                    rm = ev.real_domain_mask(ctx.shape, ctx.real_shape)
+                    if rm is not None:
+                        fields = [jnp.where(rm, f, 0.0) for f in fields]
+                if self.kernel_safe:
+                    return fields
+                return jnp.stack(fields)
 
             _, jvp_fn = jax.linearize(gfun, leaf_vals)
             D = []
@@ -236,25 +289,38 @@ class ProblemFunctions:
             yield g, leaves, D
 
     def diag_jtj(self, x, data):
-        """Exact diag(J^T J): scatter of squared leaf partials back onto
-        the unknowns (inverse shift for grids / index-add for graphs)."""
-        diag = {
-            n: jnp.zeros(s, dtype=self.dtype)
+        """Exact diag(J^T J): squared leaf partials gathered back onto the
+        unknowns (inverse shift for grids / index-add for graphs).
+
+        Channel accumulation uses per-channel lists + a final stack rather
+        than .at[..., c].add so the centered path contains no scatter ops
+        (Pallas TPU has no scatter lowering; this keeps the whole solver
+        runnable inside the VMEM kernel, opt_tpu/ops/vmem_solver.py)."""
+        acc = {
+            n: [jnp.zeros(s[:-1], dtype=self.dtype) for _ in range(s[-1])]
             for n, s in self.unknown_shapes.items()
         }
         gidx = data.get("graph_indices", {})
         for g, leaves, D in self.leaf_partials(x, data):
             for a, d in zip(leaves, D):
-                d2 = jnp.sum(d * d, axis=0)
+                if isinstance(d, (list, tuple)):
+                    d2 = sum(p * p for p in d)
+                else:
+                    d2 = jnp.sum(d * d, axis=0)
                 img = a.image
                 if isinstance(a.index, E.Offset):
-                    contrib = ev.scatter_shift(d2, a.index.data)
-                    diag[img.name] = diag[img.name].at[..., a.channel].add(
-                        contrib
-                    )
+                    contrib = self._scatter(d2, a.index.data)
                 else:
                     vidx = gidx[a.index.graph.name][a.index.slot]
-                    diag[img.name] = diag[img.name].at[vidx, a.channel].add(
-                        d2
+                    contrib = jax.ops.segment_sum(
+                        d2, vidx,
+                        num_segments=self.unknown_shapes[img.name][0],
                     )
-        return diag
+                acc[img.name][a.channel] = (
+                    acc[img.name][a.channel] + contrib
+                )
+        if self.kernel_safe:
+            return {n: list(chans) for n, chans in acc.items()}
+        return {
+            n: jnp.stack(chans, axis=-1) for n, chans in acc.items()
+        }

@@ -321,11 +321,43 @@ class Plan:
 
     Step = step
 
-    def solve(self, inputs, on_device=True):
+    def solve(self, inputs, on_device=True, engine="xla"):
         """Opt_ProblemSolve: full solve.  on_device=True runs the whole
         outer loop inside one XLA program (no per-iteration host sync --
         the reference cannot do this; solverGPUGaussNewton.t syncs every
-        reduction read)."""
+        reduction read).
+
+        engine="vmem" runs the entire solve inside one Pallas kernel with
+        all state VMEM-resident (opt_tpu/ops/vmem_solver.py) -- fastest
+        for grid problems that fit on-chip; falls back to "xla" when
+        unsupported."""
+        if engine == "vmem":
+            from ..ops import vmem_solver
+
+            if vmem_solver.supports(self):
+                vs = vmem_solver.VmemSolver(self)
+                out = vs.solve(inputs)
+                _, self._data = self.bind(inputs)
+                self._state = {
+                    "x": out["x"],
+                    "prev_cost": jnp.asarray(out["final_cost"],
+                                             self.state.dtype),
+                    "radius": jnp.asarray(
+                        self.solver_params["trust_region_radius"],
+                        self.state.dtype),
+                    "decrease_f": jnp.asarray(
+                        self.solver_params["radius_decrease_factor"],
+                        self.state.dtype),
+                    "ssq": jax.tree_util.tree_map(jnp.ones_like,
+                                                  out["x"]),
+                    "n_iter": jnp.asarray(
+                        int(self.solver_params["nIterations"]), jnp.int32),
+                    "done": jnp.asarray(True),
+                }
+                if self.state.verbosity > 0:
+                    print(f"final cost={out['final_cost']:.16f}")
+                return out["final_cost"]
+
         x, data = self.bind(inputs)
         self._data = data
         sp = self._sp_device()
