@@ -40,7 +40,11 @@ from ..dsl.env import EnergyEnv
 from ..dsl.spec import ProblemSpec
 from ..solver.core import make_solver
 
-VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # leave headroom for temporaries
+# Conservative: Mosaic stack-allocates evaluator temporaries (leaf-partial
+# chains) beyond the counted buffers; image_warping at 256^2 (est 6.8 MB)
+# OOMs a 16 MB core while 192^2 (est 3.4 MB) fits.  A tighter per-energy
+# temporary estimate is round-2 work (docs/ROUND2_TODO.md).
+VMEM_BUDGET_BYTES = 5 * 1024 * 1024
 
 
 def _roundup(v, m):
@@ -59,15 +63,16 @@ def _padded_dim_sizes(spec, dims_positional):
     return out
 
 
-def estimate_vmem_bytes(funcs):
-    """Images + ~8 unknown-sized work vectors, float32."""
+def estimate_vmem_bytes(funcs, uses_lambda=True):
+    """Images + work vectors (GN: x,delta,r,p,pre,Ap; LM adds ssq,b)."""
     img_elems = 0
     for im in funcs.spec.images.values():
         if im.name in funcs.aliases:
             continue
         img_elems += math.prod(im.ispace.shape) * im.channels
     unk_elems = sum(math.prod(s) for s in funcs.unknown_shapes.values())
-    return 4 * (img_elems + 8 * unk_elems)
+    n_vec = 8 if uses_lambda else 6
+    return 4 * (img_elems + n_vec * unk_elems)
 
 
 def supports(plan):
@@ -83,7 +88,8 @@ def supports(plan):
     for d in plan.spec.dims.values():
         if padded[d.index] != d.size:
             scale *= padded[d.index] / d.size
-    if estimate_vmem_bytes(funcs) * scale > VMEM_BUDGET_BYTES:
+    est = estimate_vmem_bytes(funcs, plan.config.uses_lambda) * scale
+    if est > VMEM_BUDGET_BYTES:
         return False
     return True
 

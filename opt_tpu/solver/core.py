@@ -163,7 +163,11 @@ def make_solver(funcs, config: SolverConfig):
             "prev_cost": cost0,
             "radius": jnp.asarray(sp["trust_region_radius"], dtype),
             "decrease_f": jnp.asarray(sp["radius_decrease_factor"], dtype),
-            "ssq": tmap(jnp.ones_like, x),
+            # SSq (PCGSaveSSq) only exists for LM; GN carries a scalar
+            # placeholder so the loop state stays small (matters for the
+            # VMEM Pallas engine)
+            "ssq": tmap(jnp.ones_like, x) if uses_lambda
+                   else jnp.zeros((), dtype),
             "n_iter": jnp.asarray(0, jnp.int32),
             "done": jnp.asarray(False),
         }
