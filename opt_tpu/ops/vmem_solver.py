@@ -190,14 +190,13 @@ class VmemSolver:
         n_out_planes = len(out_shapes)
         out_shapes.append(jax.ShapeDtypeStruct((1, 1), pf.dtype))
 
-        call = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             in_specs=[vspec] * n_in + [sspec, sspec],
             out_specs=tuple([vspec] * n_out_planes + [sspec]),
             out_shape=tuple(out_shapes),
             interpret=interpret,
         )
-        return jax.jit(call)
 
     # -- host API ----------------------------------------------------------------
 
@@ -223,37 +222,49 @@ class VmemSolver:
         reset = int(plan.solver_params["residual_reset_period"])
         key = (n_outer, n_lin, reset, interpret)
         if key not in self._compiled:
-            self._compiled[key] = self._build(
-                n_outer, n_lin, reset, interpret
-            )
+            kern = self._build(n_outer, n_lin, reset, interpret)
+
+            # one dispatch: pad + channel split + kernel + stack/crop
+            # (host-side per-op dispatches through the remote relay cost
+            # milliseconds each; see docs/PALLAS_NOTES.md)
+            def whole(x, images, pvals, spvals):
+                def planes(name, arr):
+                    p = self._pad(name, arr)
+                    return [p[..., c] for c in range(p.shape[-1])]
+
+                args = []
+                for n in self.unknown_names:
+                    args += planes(n, x[n])
+                for n in self.const_names:
+                    args += planes(n, images[n])
+                args += [pvals, spvals]
+                out = kern(*args)
+                x_new = {}
+                k = 0
+                for n in self.unknown_names:
+                    c = self.funcs.spec.images[n].channels
+                    stacked = jnp.stack(out[k : k + c], axis=-1)
+                    x_new[n] = self._crop(n, stacked)
+                    k += c
+                return x_new, out[k][0, 0]
+
+            self._compiled[key] = jax.jit(whole)
         fn = self._compiled[key]
 
         dtype = self.funcs.dtype
+
+        def host_param(n):
+            # prefer the raw input (python float) -- float() on a bound
+            # device scalar would force a host round-trip per call
+            v = inputs.get(n, data["params"].get(n))
+            return float(v)
+
         pvals = jnp.asarray(
-            [[float(data["params"][n])] for n in self.param_names]
-            or [[0.0]], dtype,
+            [[host_param(n)] for n in self.param_names] or [[0.0]], dtype,
         )
         spvals = jnp.asarray(
             [[float(plan.solver_params[n])] for n in self.sp_float_names],
             dtype,
         )
-        def planes(name, arr):
-            p = self._pad(name, arr)
-            return [p[..., c] for c in range(p.shape[-1])]
-
-        args = []
-        for n in self.unknown_names:
-            args += planes(n, x[n])
-        for n in self.const_names:
-            args += planes(n, data["images"][n])
-        args += [pvals, spvals]
-        out = fn(*args)
-        x_new = {}
-        k = 0
-        for n in self.unknown_names:
-            c = self.funcs.spec.images[n].channels
-            stacked = jnp.stack(out[k : k + c], axis=-1)
-            x_new[n] = self._crop(n, stacked)
-            k += c
-        cost = float(out[k][0, 0])
-        return {"x": x_new, "final_cost": cost}
+        x_new, cost = fn(x, data["images"], pvals, spvals)
+        return {"x": x_new, "final_cost": float(cost)}
