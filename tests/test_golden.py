@@ -112,6 +112,7 @@ VMEM_GOLDEN_CASES = {
     "image_warping": ([], 1774.3405),
     "poisson_image_editing": (["--stride", "4"], 2975554.25),
     "intrinsic_image_decomposition": (["--stride", "12"], 1225761.25),
+    "volumetric_mesh_deformation": ([], 189.74081),  # 3D grid
 }
 
 
