@@ -146,3 +146,23 @@ def test_golden_image_warping_double_precision():
     got = solver.get_cost("Opt(GN)")
     rel = abs(got - 1774.3405) / 1774.3405
     assert rel < 1e-5, f"double-precision image_warping: {got} (rel {rel})"
+
+
+LM_SELF_GOLDENS = {
+    # LM at the golden configs (the reference's golden matrix is GN-only);
+    # self-measured regression values, cross-checked float32 CPU
+    "image_warping": ([], 1774.36279296875),
+    "arap_mesh_deformation": ([], 6975.05419921875),
+}
+
+
+@pytest.mark.parametrize("name", sorted(LM_SELF_GOLDENS))
+def test_lm_self_golden(name):
+    argv, golden = LM_SELF_GOLDENS[name]
+    mod = __import__(name)
+    solver = mod.run(
+        list(argv) + ["--useOpt", "false", "--useOptLM", "true",
+                      "--noOutput", "true"]
+    )
+    got = solver.get_cost("Opt(LM)")
+    assert abs(got - golden) / abs(golden) < 1e-5, (name, got, golden)
