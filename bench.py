@@ -102,6 +102,59 @@ def main():
         file=sys.stderr,
     )
 
+    # auxiliary metrics (stderr; the stdout contract stays one JSON line)
+    try:
+        aux_arap(sys.stderr)
+    except Exception as e:
+        print(f"# arap aux bench failed: {e!r:.120}", file=sys.stderr)
+
+
+def aux_arap(err):
+    """Graph-domain auxiliary benchmark: arap 10k vertices / 60k edges."""
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+
+    N, E = 10002, 60000
+    rng = np.random.RandomState(0)
+    i = np.arange(E)
+    ur = rng.randn(N, 3).astype(np.float32)
+    cons = np.full((N, 3), -1e7, np.float32)
+    sel = rng.choice(N, 200, replace=False)
+    cons[sel] = ur[sel] + 0.1
+    inputs = {
+        "Offset": ur.copy(), "Angle": np.zeros((N, 3), np.float32),
+        "UrShape": ur, "Constraints": cons,
+        "w_fitSqrt": 2.0, "w_regSqrt": 1.0,
+        "G": {"v0": i % N, "v1": (i * 7 + 1) % N},
+    }
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.arap_mesh_deformation,
+                             "gaussNewtonGPU"), [N, E],
+    )
+    plan.set_solver_parameter("nIterations", 8)
+    plan.set_solver_parameter("lIterations", 100)
+    x, data = plan.bind(inputs)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(8, jnp.int32)
+    st = plan._full_solve_fn(x, data, sp)
+    _ = float(st["prev_cost"])
+    times = []
+    for rep in (1, 2, 3):
+        xr = dict(x)
+        xr["Offset"] = x["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(xr)
+        t0 = time.perf_counter()
+        st = plan._full_solve_fn(xr, data, sp)
+        c = float(st["prev_cost"])
+        times.append((time.perf_counter() - t0) * 1e3)
+    print(
+        f"# aux arap_10k_gn_solve(8x100): {min(times):.1f} ms "
+        f"final_cost={c:.6g}", file=err,
+    )
+
 
 if __name__ == "__main__":
     main()
