@@ -30,16 +30,6 @@ from . import evaluate as ev
 from .terms import classify_terms, classify_excludes
 
 
-def _leaf_read(access, x, graph_indices):
-    img = access.image
-    chan = x[img.name][..., access.channel]
-    idx = access.index
-    if isinstance(idx, E.Offset):
-        return ev.shift_read(chan, idx.data)
-    vidx = graph_indices[idx.graph.name][idx.slot]
-    return jnp.take(chan, vidx, axis=0)
-
-
 class ProblemFunctions:
     def __init__(self, spec, dtype, real_shapes=None, kernel_safe=False):
         self.spec = spec

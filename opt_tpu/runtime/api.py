@@ -17,13 +17,10 @@ shapes).
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..dsl import expr as E
 from ..dsl.env import EnergyEnv
 from ..dsl.spec import ProblemSpec
 from ..compile.plan_fns import ProblemFunctions

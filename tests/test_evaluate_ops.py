@@ -151,3 +151,60 @@ def test_bilinear_sample_matches_manual():
         bot = (1 - xn) * get(x0, y1) + xn * get(x1, y1)
         ref.append((1 - yn) * top + yn * bot)
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_sampled_image_custom_derivatives():
+    """SampledImage derivatives come from the user-supplied derivative
+    images, not from differentiating the bilinear weights
+    (ad.sampledimage parity, o.t:3276-3280)."""
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(6, 7).astype(np.float32))
+    dx_img = jnp.asarray(rng.rand(6, 7).astype(np.float32))
+    dy_img = jnp.asarray(rng.rand(6, 7).astype(np.float32))
+    sample = ev.make_sampled_read(img, dx_img, dy_img)
+    x = jnp.float32(2.3)
+    y = jnp.float32(3.7)
+    gx = jax.grad(lambda u: sample(u, y))(x)
+    gy = jax.grad(lambda v: sample(x, v))(y)
+    np.testing.assert_allclose(
+        float(gx), float(ev.bilinear_sample(dx_img, x, y)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(gy), float(ev.bilinear_sample(dy_img, x, y)), rtol=1e-5
+    )
+
+
+def test_computed_array_inlines_shifted_expression():
+    from opt_tpu.dsl.spec import ProblemSpec
+    from opt_tpu.dsl.env import EnergyEnv
+
+    spec = ProblemSpec()
+    O = EnergyEnv(spec, [5, 4])
+    W, H = O.Dim("W", 0), O.Dim("H", 1)
+    X = O.Unknown("X", O.opt_float, (W, H), 0)
+    CA = O.ComputedArray("CA", (W, H), X(0, 0) * 2.0 + X(1, 0))
+    e = CA(0, 1)  # shifted access inlines the shifted expression
+    rng = np.random.RandomState(0)
+    xv = jnp.asarray(rng.rand(4, 5, 1).astype(np.float32))
+    ctx = ev.EvalContext("grid", (4, 5), {"X": xv}, {}, {}, jnp.float32)
+    out = np.asarray(ctx.eval(e))
+    ref = 2.0 * np.asarray(ev.shift_read(xv[..., 0], (0, 1))) + np.asarray(
+        ev.shift_read(xv[..., 0], (1, 1))
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_slice_helper():
+    from opt_tpu.dsl.spec import ProblemSpec
+    from opt_tpu.dsl.env import EnergyEnv
+
+    spec = ProblemSpec()
+    O = EnergyEnv(spec, [3, 3])
+    W, H = O.Dim("W", 0), O.Dim("H", 1)
+    X = O.Unknown("X", O.opt_float4, (W, H), 0)
+    sl = O.Slice(X, 1, 3)
+    v = sl(0, 0)
+    assert isinstance(v, E.ExpVector) and len(v) == 2
+    assert v(0).channel == 1 and v(1).channel == 2
+    s1 = O.Slice(X, 2, 3)
+    assert s1(0, 0).channel == 2  # single-channel slice returns scalar
