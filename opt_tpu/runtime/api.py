@@ -66,6 +66,7 @@ class OptState:
         use_materialized_jacobian=False,
         use_fused_jtj=False,
         use_pallas=False,
+        pcg_variant="classic",
         guarded_invert_type="CERES",
         jacobi_scaling="ONCE_PER_SOLVE",
     ):
@@ -79,6 +80,12 @@ class OptState:
         self.use_materialized_jacobian = use_materialized_jacobian
         self.use_fused_jtj = use_fused_jtj
         self.use_pallas = use_pallas
+        if pcg_variant not in ("classic", "pipelined"):
+            raise ValueError(
+                f"pcg_variant must be 'classic' or 'pipelined', "
+                f"got {pcg_variant!r}"
+            )
+        self.pcg_variant = pcg_variant
         self.guarded_invert_type = guarded_invert_type
         self.jacobi_scaling = jacobi_scaling
         self.dtype = jnp.float64 if double_precision else jnp.float32
@@ -153,6 +160,7 @@ class Plan:
             use_materialized_jacobian=state.use_materialized_jacobian,
             use_fused_jtj=state.use_fused_jtj,
             use_pallas_pcg=state.use_pallas,
+            pcg_variant=state.pcg_variant,
         )
         init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = make_solver(
             self.funcs, self.config

@@ -127,6 +127,7 @@ class SolverConfig:
         use_materialized_jacobian=False,
         use_fused_jtj=False,
         use_pallas_pcg=False,
+        pcg_variant="classic",
     ):
         assert guarded_invert_type in GUARDED_INVERT_TYPES
         assert jacobi_scaling in JACOBI_SCALING_TYPES
@@ -136,6 +137,8 @@ class SolverConfig:
         self.use_materialized_jacobian = use_materialized_jacobian
         self.use_fused_jtj = use_fused_jtj
         self.use_pallas_pcg = use_pallas_pcg
+        assert pcg_variant in ("classic", "pipelined")
+        self.pcg_variant = pcg_variant
 
 
 def make_solver(funcs, config: SolverConfig):
@@ -173,8 +176,67 @@ def make_solver(funcs, config: SolverConfig):
         }
         return state
 
+    def pcg_pipelined(A, pre, r_init, sp, masks_apply):
+        """Pipelined PCG (Ghysels & Vanroose 2014; see PAPERS.md).
+
+        Algebraically identical to classic PCG but with recurrences for
+        s = A p, q = M^-1 s, z = A q, so the two reductions per iteration
+        are independent of the A-apply -- on a multi-chip mesh the psum
+        latency overlaps the halo-exchanged operator.  GN only (LM's
+        residual reset and Q-sequence are defined on the classic loop).
+        """
+        L = jnp.asarray(sp["lIterations"], jnp.int32)
+        M = lambda v: masks_apply(tmul(pre, v))
+
+        r0 = r_init
+        u0 = M(r0)
+        w0 = A(u0)
+        zl = tzeros_like(r0)
+        carry0 = {
+            "delta": tzeros_like(r0),
+            "r": r0, "u": u0, "w": w0,
+            "z": zl, "q": zl, "s": zl, "p": zl,
+            "gamma": jnp.asarray(0.0, dtype),
+            "alpha": jnp.asarray(1.0, dtype),
+            "i": jnp.asarray(0, jnp.int32),
+        }
+
+        def cond(c):
+            return c["i"] < L
+
+        def body(c):
+            i = c["i"]
+            gamma = tdot(c["r"], c["u"])
+            delta_d = tdot(c["w"], c["u"])
+            m = M(c["w"])
+            n = A(m)
+            first = i == 0
+            beta = jnp.where(first, 0.0, _safe_div(gamma, c["gamma"]))
+            denom = delta_d - beta * _safe_div(gamma, c["alpha"])
+            alpha = jnp.where(
+                first, _safe_div(gamma, delta_d), _safe_div(gamma, denom)
+            )
+            z = taxpy(beta, c["z"], n)
+            q = taxpy(beta, c["q"], m)
+            s = taxpy(beta, c["s"], c["w"])
+            p = taxpy(beta, c["p"], c["u"])
+            return {
+                "delta": taxpy(alpha, p, c["delta"]),
+                "r": taxpy(-alpha, s, c["r"]),
+                "u": taxpy(-alpha, q, c["u"]),
+                "w": taxpy(-alpha, z, c["w"]),
+                "z": z, "q": q, "s": s, "p": p,
+                "gamma": gamma, "alpha": alpha,
+                "i": i + 1,
+            }
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        return out["delta"]
+
     def pcg_loop(A, pre, r_init, b, sp, masks_apply):
         """The PCG inner loop.  A: p -> (J^T J + CtC) p, pre: M^-1 diag."""
+        if config.pcg_variant == "pipelined" and not uses_lambda:
+            return pcg_pipelined(A, pre, r_init, sp, masks_apply)
         # optional fused Pallas Step2 (opt_tpu/ops/pcg_pallas.py); falls
         # back to interpret mode off-TPU so tests cover the kernel
         if config.use_pallas_pcg:
