@@ -73,6 +73,11 @@ def make_arg_parser():
                    default=False)
     p.add_argument("--useCeres", type=str2bool, nargs="?", const=True,
                    default=False)
+    # the reference's per-example hand-written CUDA solver slot
+    # (CombinedSolverBase.h:67-81); here the hand-optimized whole-solve
+    # VMEM Pallas engine plays that role
+    p.add_argument("--useCUDA", "--usePallas", dest="useCUDA",
+                   type=str2bool, nargs="?", const=True, default=False)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--stride", type=int, default=1)
@@ -119,6 +124,7 @@ class CombinedSolverParameters:
         p.useOpt = args.useOpt
         p.useOptLM = args.useOptLM
         p.useCeres = args.useCeres
+        p.useCUDA = getattr(args, "useCUDA", False)
         p.useMaterializedJTJ = args.useMaterializedJTJ
         p.useFusedJTJ = args.useFusedJTJ
         p.optDoublePrecision = getattr(args, "double", False)
@@ -154,7 +160,8 @@ def save_solver_results(directory, suffix, iters_by_name,
     return path
 
 
-def report_final_costs(name, params, gn_cost, lm_cost, ceres_cost=None):
+def report_final_costs(name, params, gn_cost, lm_cost, ceres_cost=None,
+                       pallas_cost=None):
     """reportFinalCosts parity (SolverIteration.h:68-86)."""
     print(f"{name} final costs:")
     if params.useOpt:
@@ -163,6 +170,8 @@ def report_final_costs(name, params, gn_cost, lm_cost, ceres_cost=None):
         print(f"Opt(LM): {lm_cost}")
     if params.useCeres and ceres_cost is not None:
         print(f"Ceres: {ceres_cost}")
+    if getattr(params, "useCUDA", False) and pallas_cost is not None:
+        print(f"Pallas(VMEM): {pallas_cost}")
 
 
 class CombinedSolver:
@@ -217,6 +226,23 @@ class CombinedSolver:
             self._add(dims, energy, "gaussNewtonGPU", "Opt(GN)")
         if p.useOptLM:
             self._add(dims, energy, "LMGPU", "Opt(LM)")
+        if p.useCUDA:
+            # hand-optimized solver slot ("CUDA" in the reference,
+            # CombinedSolverBase.h:67-81): the whole-solve-in-VMEM Pallas
+            # engine, if the problem fits
+            from opt_tpu.ops import vmem_solver
+
+            problem = self.state.problem_define(energy, "gaussNewtonGPU")
+            plan = self.state.problem_plan(problem, dims)
+            if vmem_solver.supports(plan):
+                self.m_solverInfo.append(
+                    {"plan": plan, "name": "Pallas(VMEM)", "iters": [],
+                     "pallas": True}
+                )
+            else:
+                print("Pallas(VMEM): problem not eligible (graph domain, "
+                      "<2D grid, or exceeds the VMEM budget); skipping "
+                      "the hand-optimized solver")
         if p.useCeres:
             # outside baseline in the Ceres role (CeresSolverBase parity):
             # generic scipy TRF/LSMR over the same residual program
@@ -278,6 +304,21 @@ class CombinedSolver:
         plan.set_solver_parameter("lIterations", p.linearIter)
         for k, v in self.m_solverParams.items():
             plan.set_solver_parameter(k, v)
+        if s.get("pallas"):
+            from opt_tpu.ops.vmem_solver import VmemSolver
+
+            if "vmem" not in s:
+                s["vmem"] = VmemSolver(plan)
+            t0 = time.perf_counter()
+            out = s["vmem"].solve(self.m_problemParams)
+            ms = (time.perf_counter() - t0) * 1e3
+            s["iters"].append(SolverIteration(out["final_cost"], ms))
+            s["final_cost"] = self.final_cost = out["final_cost"]
+            print(f"final cost={out['final_cost']:.16f}")
+            for n, v in out["x"].items():
+                if n in self.m_problemParams:
+                    self.m_problemParams[n] = v
+            return
         plan.init(self.m_problemParams)
         while True:
             t0 = time.perf_counter()
