@@ -198,6 +198,8 @@ class CombinedSolver:
             double_precision=params.optDoublePrecision,
             use_materialized_jacobian=params.useMaterializedJTJ,
             use_fused_jtj=params.useFusedJTJ,
+            # profileSolve -> collectPerKernelTimingInfo (OptSolver.h:46-70)
+            collect_kernel_timing=params.profileSolve,
         )
 
     # -- hooks ---------------------------------------------------------------
