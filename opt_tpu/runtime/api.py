@@ -189,6 +189,8 @@ class Plan:
         self._data = None
         self._cleaned = False
         self.timer = KernelTimer(enabled=state.collect_kernel_timing)
+        if state.verbosity > 1:
+            self.print_allocation_info()
 
     # -- parameters -----------------------------------------------------------
 
@@ -209,6 +211,40 @@ class Plan:
             else:
                 sp[k] = jnp.asarray(float(v), self.state.dtype)
         return sp
+
+    def print_allocation_info(self, out=print):
+        """Memory-layout report (printAllocationInfo parity, o.t:375-405,
+        solverGPUGaussNewton.t:284-335): per-image bytes plus the solver's
+        work-vector footprint."""
+        import math
+
+        dtype_bytes = jnp.dtype(self.state.dtype).itemsize
+        out("Layout of ProblemParameters:")
+        total = 0
+        unk_bytes = 0
+        for name, im in self.spec.images.items():
+            if name in self.funcs.aliases:
+                out(f"Param {name} aliases {self.funcs.aliases[name]} "
+                    f"(0 bytes)")
+                continue
+            n = math.prod(im.ispace.shape) * im.channels * dtype_bytes
+            total += n
+            if im.is_unknown:
+                unk_bytes += n
+            out(f"Param {name} needs {n} bytes")
+        for g in self.spec.graphs.values():
+            nedges = g.edge_dim.size
+            n = nedges * len(g.slots) * 4
+            total += n
+            out(f"Param {g.name} needs {n} bytes ({nedges} edges x "
+                f"{len(g.slots)} index arrays)")
+        out(f"total usage of ProblemParameters is {total} bytes")
+        # solver work vectors over the unknowns (PlanData analogue,
+        # solverGPUGaussNewton.t:208-272): GN keeps 6, LM 8
+        n_vec = 8 if self.config.uses_lambda else 6
+        out(f"solver work vectors: {n_vec} x {unk_bytes} = "
+            f"{n_vec * unk_bytes} bytes")
+        return total
 
     # -- data binding (util.initParameters parity, util.t:677-721) ------------
 

@@ -126,3 +126,31 @@ def test_checkpoint_resume(tmp_path):
     b.step()
     b.step()
     assert b.final_cost() == pytest.approx(want, rel=1e-7)
+
+
+def test_print_allocation_info():
+    """printAllocationInfo parity (o.t:375-405): per-param bytes, alias
+    lines, graph index bytes, work-vector footprint."""
+    import opt_tpu
+    from opt_tpu import energies
+
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.intrinsic_image_decomposition,
+                             "gaussNewtonGPU"), [16, 12])
+    lines = []
+    total = plan.print_allocation_info(out=lines.append)
+    text = "\n".join(lines)
+    assert "Param r needs 2304 bytes" in text
+    assert "r_const aliases r" in text
+    assert f"total usage of ProblemParameters is {total} bytes" in text
+    assert "6 x" in text  # GN keeps 6 work vectors
+
+    plan_lm = state.problem_plan(
+        state.problem_define(energies.arap_mesh_deformation, "LMGPU"),
+        [10, 24])
+    lines = []
+    plan_lm.print_allocation_info(out=lines.append)
+    text = "\n".join(lines)
+    assert "Param G needs 192 bytes (24 edges x 2 index arrays)" in text
+    assert "8 x" in text  # LM keeps 8
