@@ -195,6 +195,20 @@ class Plan:
     # -- parameters -----------------------------------------------------------
 
     def set_solver_parameter(self, name, value):
+        if name == "nIter":
+            # the current nonlinear-iteration counter is itself a settable
+            # SolverParameters entry in the reference (the setSolverParameter
+            # if-chain iterates ALL struct fields,
+            # solverGPUGaussNewton.t:186-201,2382-2398); resetting it lets
+            # the host run extra iterations on a finished plan
+            if self._state is None:
+                raise RuntimeError(
+                    "nIter is the live iteration counter; set it after init"
+                )
+            self._state = dict(self._state)
+            self._state["n_iter"] = jnp.asarray(int(value), jnp.int32)
+            self._state["done"] = jnp.asarray(False)
+            return
         if name not in self.solver_params:
             raise KeyError(f"unknown solver parameter {name!r}")
         self.solver_params[name] = value

@@ -154,3 +154,39 @@ def test_print_allocation_info():
     text = "\n".join(lines)
     assert "Param G needs 192 bytes (24 edges x 2 index arrays)" in text
     assert "8 x" in text  # LM keeps 8
+
+
+def test_set_niter_resumes_solve():
+    """nIter is the 13th settable SolverParameters entry
+    (solverGPUGaussNewton.t:186-201): resetting the live counter runs
+    extra nonlinear iterations on a finished plan."""
+    import opt_tpu
+
+    def energy(O):
+        W, H = O.Dim("W", 0), O.Dim("H", 1)
+        X = O.Unknown("X", O.opt_float, (W, H), 0)
+        T = O.Array("T", O.opt_float, (W, H), 1)
+        O.Energy(0.1 * (X(0, 0) * X(0, 0) * X(0, 0) - T(0, 0)))
+        for x, y in O.Stencil([(1, 0), (0, 1)]):
+            O.Energy(O.Select(O.InBounds(x, y), X(0, 0) - X(x, y), 0))
+
+    rng = np.random.RandomState(2)
+    inputs = {"X": 1 + rng.rand(8, 10, 1).astype(np.float32),
+              "T": rng.rand(8, 10, 1).astype(np.float32)}
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energy, "gaussNewtonGPU"), [10, 8])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 5)
+    with pytest.raises(RuntimeError):
+        plan.set_solver_parameter("nIter", 0)  # only live after init
+    plan.init(inputs)
+    while plan.step():
+        pass
+    c2 = plan.final_cost()
+    plan.set_solver_parameter("nIter", 0)
+    steps = 0
+    while plan.step():
+        steps += 1
+    assert steps == 2
+    assert plan.final_cost() < c2
