@@ -213,3 +213,40 @@ class MaterializedJacobian:
         vals = np.concatenate(vals)
         m = coo_matrix((vals, (rows, cols)), shape=(row0, total_u))
         return m.tocsr()
+
+
+def validate_csr(mat):
+    """CSR validity check (debug-dump parity,
+    solverGPUGaussNewton.t:1679-1701): rowPtr monotonicity and range,
+    colInd range and strict per-row sortedness.  Returns a list of error
+    strings; empty means valid."""
+    errors = []
+    indptr = np.asarray(mat.indptr)
+    indices = np.asarray(mat.indices)
+    nrows, ncols = mat.shape
+    nnz = len(indices)
+    if len(indptr) != nrows + 1:
+        errors.append(f"rowPtr length {len(indptr)} != nrows+1 {nrows + 1}")
+        return errors
+    if indptr[0] != 0 or indptr[-1] != nnz:
+        errors.append(
+            f"rowPtr bounds [{indptr[0]}, {indptr[-1]}] != [0, {nnz}]"
+        )
+    bad = np.nonzero(np.diff(indptr) < 0)[0]
+    for i in bad[:10]:
+        errors.append(
+            f"rowPtr not monotone at row {i}: {indptr[i]} > {indptr[i + 1]}"
+        )
+    if nnz and (indices.min() < 0 or indices.max() >= ncols):
+        errors.append(
+            f"colInd out of range [0, {ncols}): "
+            f"min {indices.min()}, max {indices.max()}"
+        )
+    for i in range(nrows):
+        row = indices[indptr[i] : indptr[i + 1]]
+        if len(row) > 1 and not np.all(np.diff(row) > 0):
+            errors.append(f"colInd not strictly sorted in row {i}")
+            if len(errors) >= 20:
+                errors.append("... (truncated)")
+                return errors
+    return errors

@@ -81,3 +81,30 @@ def test_csr_export_matches_dense_jacobian():
 
     Jref = np.asarray(jax.jacfwd(resid_flat)(xf))
     np.testing.assert_allclose(J, Jref, rtol=1e-4, atol=1e-5)
+
+
+def test_validate_csr():
+    """CSR validity checker (solverGPUGaussNewton.t:1679-1701 parity):
+    the exported J passes; corrupted structures are flagged."""
+    from opt_tpu.sparse.materialize import MaterializedJacobian, validate_csr
+
+    state = opt_tpu.NewState(use_materialized_jacobian=True)
+    plan = state.problem_plan(
+        state.problem_define(warp_energy, "gaussNewtonGPU"), [5, 4])
+    x, data = plan.bind(warp_inputs(5, 4, seed=9))
+    J = MaterializedJacobian(plan.funcs, x, data).to_scipy_csr(data)
+    assert validate_csr(J) == []
+
+    # corrupt: unsorted colInd within a row
+    bad = J.copy()
+    row = slice(bad.indptr[0], bad.indptr[1])
+    if bad.indptr[1] - bad.indptr[0] > 1:
+        bad.indices[row] = bad.indices[row][::-1]
+        errs = validate_csr(bad)
+        assert any("sorted" in e for e in errs)
+
+    # corrupt: out-of-range column index
+    bad2 = J.copy()
+    bad2.indices[0] = J.shape[1] + 5
+    errs = validate_csr(bad2)
+    assert any("out of range" in e for e in errs)
