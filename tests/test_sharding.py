@@ -64,3 +64,21 @@ def test_mesh_factoring():
     assert m.devices.shape == (2, 4)
     m = pmesh.make_mesh(4)
     assert m.devices.shape == (2, 2)
+
+
+def test_grid_sharded_pipelined_matches_classic():
+    """Pipelined PCG (Ghysels-Vanroose, PAPERS.md) under GSPMD on the
+    8-device mesh: same solution as classic up to reduction rounding."""
+    W, H = 16, 16
+    inputs = warp_inputs(W, H, seed=3)
+    costs = {}
+    for variant in ("classic", "pipelined"):
+        state = opt_tpu.NewState(pcg_variant=variant)
+        plan = state.problem_plan(
+            state.problem_define(warp_energy, "gaussNewtonGPU"), [W, H])
+        plan.set_solver_parameter("nIterations", 2)
+        plan.set_solver_parameter("lIterations", 5)
+        mesh = pmesh.make_mesh(8)
+        costs[variant] = pmesh.solve_sharded(
+            plan, dict(inputs), mesh, n_iterations=2)
+    assert costs["pipelined"] == pytest.approx(costs["classic"], rel=1e-5)
