@@ -208,3 +208,65 @@ def test_slice_helper():
     assert v(0).channel == 1 and v(1).channel == 2
     s1 = O.Slice(X, 2, 3)
     assert s1(0, 0).channel == 2  # single-channel slice returns scalar
+
+
+def _rot3_numpy(alpha, beta, gamma):
+    """R = Rz(gamma) @ Ry(beta) @ Rx(alpha) (evalR parity, lib.t:61-88)."""
+    ca, cb, cg = np.cos([alpha, beta, gamma])
+    sa, sb, sg = np.sin([alpha, beta, gamma])
+    Rx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+    Ry = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+    Rz = np.array([[cg, -sg, 0], [sg, cg, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def test_rotate3d_matches_numpy_euler():
+    """Rotate3D = Rz(g)Ry(b)Rx(a) applied to v (lib.t evalR convention)."""
+    from opt_tpu.dsl.spec import ProblemSpec
+    from opt_tpu.dsl.env import EnergyEnv
+
+    spec = ProblemSpec()
+    O = EnergyEnv(spec, [2, 2])
+    W, H = O.Dim("W", 0), O.Dim("H", 1)
+    A = O.Unknown("A", O.opt_float3, (W, H), 0)
+    V = O.Unknown("V", O.opt_float3, (W, H), 1)
+    out = O.Rotate3D(A(0, 0), V(0, 0))
+
+    rng = np.random.RandomState(7)
+    angles = rng.uniform(-2, 2, (2, 2, 3)).astype(np.float32)
+    vecs = rng.randn(2, 2, 3).astype(np.float32)
+    ctx = ev.EvalContext(
+        "grid", (2, 2), {"A": jnp.asarray(angles), "V": jnp.asarray(vecs)},
+        {}, {}, jnp.float32,
+    )
+    got = np.stack([np.asarray(ctx.eval(out(i))) for i in range(3)], -1)
+    for y in range(2):
+        for x in range(2):
+            ref = _rot3_numpy(*angles[y, x]) @ vecs[y, x]
+            np.testing.assert_allclose(got[y, x], ref, rtol=2e-5, atol=1e-6)
+
+
+def test_rotate2d_matches_numpy():
+    from opt_tpu.dsl.spec import ProblemSpec
+    from opt_tpu.dsl.env import EnergyEnv
+
+    spec = ProblemSpec()
+    O = EnergyEnv(spec, [3, 2])
+    W, H = O.Dim("W", 0), O.Dim("H", 1)
+    A = O.Unknown("A", O.opt_float, (W, H), 0)
+    V = O.Unknown("V", O.opt_float2, (W, H), 1)
+    out = O.Rotate2D(A(0, 0), V(0, 0))
+
+    rng = np.random.RandomState(8)
+    ang = rng.uniform(-3, 3, (2, 3, 1)).astype(np.float32)
+    vecs = rng.randn(2, 3, 2).astype(np.float32)
+    ctx = ev.EvalContext(
+        "grid", (2, 3), {"A": jnp.asarray(ang), "V": jnp.asarray(vecs)},
+        {}, {}, jnp.float32,
+    )
+    got = np.stack([np.asarray(ctx.eval(out(i))) for i in range(2)], -1)
+    for y in range(2):
+        for x in range(3):
+            c, s = np.cos(ang[y, x, 0]), np.sin(ang[y, x, 0])
+            ref = np.array([[c, -s], [s, c]]) @ vecs[y, x]
+            np.testing.assert_allclose(got[y, x], ref, rtol=2e-5, atol=1e-6)
