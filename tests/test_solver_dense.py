@@ -162,3 +162,47 @@ def test_gn_graph_arap_matches_dense_oracle():
 def test_lm_graph_arap_matches_dense_oracle():
     run_compare(arap_graph_energy, arap_inputs(6, seed=11), [6, 12],
                 "LMGPU", n_steps=4, l_iters=9)
+
+
+def test_exclude_semantics_explicit():
+    """Exclusion contract (o.t:3238-3241): excluded unknowns are frozen,
+    and residual ROWS centered at excluded pixels are dropped from the
+    COST (though their neighbors' stencil rows still reference them)."""
+    import opt_tpu
+
+    def energy(O):
+        W, H = O.Dim("W", 0), O.Dim("H", 1)
+        X = O.Unknown("X", O.opt_float, (W, H), 0)
+        T = O.Array("T", O.opt_float, (W, H), 1)
+        M = O.Array("M", O.opt_float, (W, H), 2)
+        O.Exclude(O.Not(O.eq(M(0, 0), 0)))
+        O.Energy(X(0, 0) - T(0, 0))
+
+    W, H = 6, 5
+    rng = np.random.RandomState(4)
+    x0 = rng.rand(H, W, 1).astype(np.float32)
+    t = rng.rand(H, W, 1).astype(np.float32)
+    m = np.zeros((H, W, 1), np.float32)
+    m[2, 3] = 1.0  # exclude one pixel
+
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energy, "gaussNewtonGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 1)
+    plan.set_solver_parameter("lIterations", 20)
+    plan.init({"X": x0.copy(), "T": t, "M": m})
+    init_cost = plan.current_cost()
+    # cost drops the excluded row: 0.5 * sum over non-excluded pixels
+    r = (x0 - t)[..., 0]
+    r[2, 3] = 0.0
+    assert init_cost == pytest.approx(0.5 * float((r ** 2).sum()), rel=1e-6)
+    while plan.step():
+        pass
+    got = np.asarray(plan.unknowns()["X"])
+    # excluded unknown frozen at its initial value
+    assert got[2, 3, 0] == pytest.approx(float(x0[2, 3, 0]), abs=1e-7)
+    # all other pixels solved to T exactly (pure fit term)
+    mask = np.ones((H, W), bool)
+    mask[2, 3] = False
+    np.testing.assert_allclose(
+        got[..., 0][mask], t[..., 0][mask], rtol=1e-5, atol=1e-6)
