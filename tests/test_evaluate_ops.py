@@ -270,3 +270,35 @@ def test_rotate2d_matches_numpy():
             c, s = np.cos(ang[y, x, 0]), np.sin(ang[y, x, 0])
             ref = np.array([[c, -s], [s, c]]) @ vecs[y, x]
             np.testing.assert_allclose(got[y, x], ref, rtol=2e-5, atol=1e-6)
+
+
+def test_lp_robust_norm_weight():
+    """L_p (lib.t:113-123): returns sqrt((||v_const||+eps)^(p-2)) * v,
+    with the weight treated as a constant for AD (IRLS)."""
+    from opt_tpu.dsl.spec import ProblemSpec
+    from opt_tpu.dsl.env import EnergyEnv
+
+    spec = ProblemSpec()
+    O = EnergyEnv(spec, [4, 3])
+    W, H = O.Dim("W", 0), O.Dim("H", 1)
+    Xv = O.Unknown("X", O.opt_float3, (W, H), 0)
+    p = 0.8
+    out = O.L_p(Xv(0, 0), Xv(0, 0), p, (W, H))
+
+    rng = np.random.RandomState(5)
+    xv = rng.rand(3, 4, 3).astype(np.float32) + 0.2
+    ctx = ev.EvalContext("grid", (3, 4), {"X": jnp.asarray(xv)}, {}, {},
+                         jnp.float32)
+    got = np.stack([np.asarray(ctx.eval(out(i))) for i in range(3)], -1)
+    norm = np.linalg.norm(xv, axis=-1, keepdims=True)
+    ref = np.sqrt((norm + 1e-7) ** (p - 2)) * xv
+    np.testing.assert_allclose(got, ref, rtol=3e-5)
+
+
+def test_bounds_mask_3d():
+    """InBounds semantics on a 3D index space: border of the expanded
+    stencil excluded per axis."""
+    m = ev.bounds_mask((4, 3, 5), (-1, 0, -2), (1, 0, 2))
+    ref = np.zeros((4, 3, 5), bool)
+    ref[2:-2, :, 1:-1] = True  # shape order (D,H,W) = dims reversed
+    np.testing.assert_array_equal(np.asarray(m), ref)
