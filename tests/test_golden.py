@@ -166,3 +166,13 @@ def test_lm_self_golden(name):
     )
     got = solver.get_cost("Opt(LM)")
     assert abs(got - golden) / abs(golden) < 1e-5, (name, got, golden)
+
+
+def test_golden_arap_double_precision():
+    """float64 unknowns on the GRAPH path must land on the same golden
+    (Opt.h:14 double-precision switch; grid path covered above)."""
+    mod = __import__("arap_mesh_deformation")
+    solver = mod.run(["--noOutput", "true", "--double", "true"])
+    got = solver.get_cost("Opt(GN)")
+    rel = abs(got - 7183.464843) / 7183.464843
+    assert rel < 1e-5, f"double-precision arap: {got} (rel {rel})"
