@@ -81,3 +81,25 @@ def test_parse_live_solver_output():
     assert any(n.startswith("step_") for n in info.kernel_names())
     assert info.final_cost == pytest.approx(plan.final_cost(), rel=1e-9)
     assert info.per_iter_ms is not None
+
+
+def test_save_solver_results_csv_roundtrip(tmp_path):
+    """ceresIterationComparison CSV contract (SolverIteration.h:28-65):
+    per-solver cost/ms columns, rows padded to the longest series."""
+    from common import save_solver_results, SolverIteration
+
+    iters = {
+        "Opt(GN)": [SolverIteration(10.0, 1.5), SolverIteration(5.0, 1.2)],
+        "Ceres": [SolverIteration(9.0, 30.0)],
+    }
+    path = save_solver_results(str(tmp_path) + "/", "_float", iters, False)
+    lines = open(path).read().strip().splitlines()
+    header = lines[0].split(",")
+    assert "Opt(GN) cost" in header and "Ceres ms" in header
+    assert len(lines) == 3  # header + 2 rows (longest series)
+    row2 = lines[2].split(",")
+    # Ceres has only one iteration -> second row cells empty
+    ceres_cost_col = header.index("Ceres cost")
+    assert row2[ceres_cost_col] == ""
+    gn_cost_col = header.index("Opt(GN) cost")
+    assert float(row2[gn_cost_col]) == 5.0
