@@ -109,8 +109,7 @@ class OptState:
     def plan_free(self, plan):
         """Opt_PlanFree parity (Opt.h:54): releases device buffers held by
         the plan's bound state."""
-        plan._state = None
-        plan._data = None
+        plan.free()
 
     # CamelCase aliases for reference-API parity
     ProblemDefine = problem_define
@@ -362,6 +361,13 @@ class Plan:
                 f"{float(self._state['prev_cost']):.16f}"
             )
         return 1
+
+    def free(self):
+        """Opt_PlanFree parity (Opt.h:54): release device buffers held by
+        the plan's bound state (the jitted programs stay cached on the
+        OptState for re-binding)."""
+        self._state = None
+        self._data = None
 
     def _cleanup(self):
         """Solver cleanup contract (solverGPUGaussNewton.t:1902-1910):

@@ -190,3 +190,27 @@ def test_set_niter_resumes_solve():
         steps += 1
     assert steps == 2
     assert plan.final_cost() < c2
+
+
+def test_public_api_surface_stability():
+    """Pin the Opt.h-parity public surface (Opt.h:3-76): top-level names
+    and the lifecycle methods apps depend on."""
+    import opt_tpu
+
+    for name in ("NewState", "OptState", "Problem", "Plan",
+                 "SolverConfig", "SOLVER_PARAMETER_DEFAULTS", "EnergyEnv",
+                 "ProblemSpec"):
+        assert hasattr(opt_tpu, name), name
+
+    state_methods = ("problem_define", "problem_plan", "problem_delete")
+    for m in state_methods:
+        assert callable(getattr(opt_tpu.OptState, m)), m
+
+    plan_methods = (
+        "init", "step", "Step", "solve", "set_solver_parameter",
+        "SetSolverParameter", "current_cost", "final_cost", "unknowns",
+        "bind", "save_state", "load_state", "print_allocation_info",
+        "free",
+    )
+    for m in plan_methods:
+        assert callable(getattr(opt_tpu.Plan, m)), m
