@@ -114,9 +114,18 @@ def read_png(path):
             idat.append(chunk)
         elif tag == b"IEND":
             break
+    if width is None or ctype not in _CHANNELS:
+        raise ValueError(f"{path}: missing/invalid IHDR")
     nch = _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = width * nch
+    if width <= 0 or height <= 0 or len(raw) != height * (1 + stride):
+        # Validate before handing raw to the native C unfilter, which
+        # otherwise reads past a truncated buffer.
+        raise ValueError(
+            f"{path}: corrupt IDAT ({len(raw)} bytes, expected "
+            f"{height * (1 + stride)} for {width}x{height}x{nch})"
+        )
     flat = _unfilter(raw, height, stride, nch)
     img = flat.reshape(height, width, nch)
     if ctype == 3:  # palette

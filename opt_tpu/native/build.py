@@ -104,6 +104,13 @@ def neighbor_lists(faces, n_verts):
     if lib is None:
         return None
     faces = np.ascontiguousarray(faces, np.int32)
+    if faces.size and (faces.min() < 0 or faces.max() >= n_verts):
+        # Out-of-range vertex ids would index past deg[]/starts[] in C
+        # (heap corruption); match the pure-Python fallback's IndexError.
+        raise IndexError(
+            f"face vertex id out of range [0, {n_verts}): "
+            f"min={faces.min()}, max={faces.max()}"
+        )
     nf = len(faces)
     cap = 6 * nf + 1
     offsets = np.zeros(n_verts + 1, np.int32)

@@ -72,7 +72,8 @@ def estimate_vmem_bytes(funcs, uses_lambda=True):
         img_elems += math.prod(im.ispace.shape) * im.channels
     unk_elems = sum(math.prod(s) for s in funcs.unknown_shapes.values())
     n_vec = 8 if uses_lambda else 6
-    return 4 * (img_elems + n_vec * unk_elems)
+    itemsize = jnp.dtype(funcs.dtype).itemsize
+    return itemsize * (img_elems + n_vec * unk_elems)
 
 
 def supports(plan):

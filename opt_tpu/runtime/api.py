@@ -314,7 +314,19 @@ class Plan:
                     raise KeyError(
                         f"missing graph indices {gname}.{sname}"
                     )
-                slots[sname] = jnp.asarray(v, jnp.int32)
+                vnp = np.asarray(v)
+                n_verts = g.slots[sname].ispace.shape[0]
+                if vnp.size and (
+                    vnp.min() < 0 or vnp.max() >= n_verts
+                ):
+                    # jnp.take/segment_sum silently clamp/drop OOB indices
+                    # on device; fail fast at bind time instead.
+                    raise ValueError(
+                        f"graph {gname}.{sname}: vertex index out of "
+                        f"range [0, {n_verts}): min={vnp.min()}, "
+                        f"max={vnp.max()}"
+                    )
+                slots[sname] = jnp.asarray(vnp, jnp.int32)
             n = {s.shape for s in slots.values()}
             if len(n) != 1:
                 raise ValueError(f"graph {gname}: slot length mismatch")
@@ -478,15 +490,35 @@ class Plan:
     def load_state(self, path):
         assert self._data is not None, "bind data first (init or solve)"
         loaded = np.load(path)
+        dtype = self.funcs.dtype
         state = {"x": {}, "ssq": {}}
         for key in loaded.files:
+            arr = loaded[key]
+            if np.issubdtype(arr.dtype, np.floating):
+                # Cast to the plan precision so a checkpoint written by a
+                # float64 plan loads cleanly into a float32 plan (and vice
+                # versa) instead of recompiling the step with mixed dtypes.
+                arr = arr.astype(dtype)
             if "." in key:
                 group, name = key.split(".", 1)
-                state.setdefault(group, {})[name] = jnp.asarray(
-                    loaded[key]
-                )
+                state.setdefault(group, {})[name] = jnp.asarray(arr)
             else:
-                state[key] = jnp.asarray(loaded[key])
+                state[key] = jnp.asarray(arr)
+        for name, shape in self.funcs.unknown_shapes.items():
+            got = state["x"].get(name)
+            if got is None:
+                raise ValueError(
+                    f"{path}: checkpoint missing unknown {name!r}"
+                )
+            if tuple(got.shape) != tuple(shape):
+                raise ValueError(
+                    f"{path}: unknown {name!r} shape {tuple(got.shape)} "
+                    f"does not match plan shape {tuple(shape)} -- "
+                    "checkpoint is from a different problem size"
+                )
+        for key in ("prev_cost", "n_iter", "done"):
+            if key not in state:
+                raise ValueError(f"{path}: checkpoint missing {key!r}")
         self._state = state
         self._cleaned = False
         return self
