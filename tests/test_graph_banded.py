@@ -1,0 +1,110 @@
+"""Banded one-hot graph engine: planning, exactness, transpose pairing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opt_tpu.ops import graph_banded as gb
+
+
+def _mesh_graph(seed=0, n=400, deg=6, band=37):
+    """Synthetic mesh-like graph: endpoints within `band` of each other."""
+    rng = np.random.RandomState(seed)
+    v0 = np.repeat(np.arange(n), deg).astype(np.int64)
+    v1 = np.clip(v0 + rng.randint(-band, band + 1, size=len(v0)), 0, n - 1)
+    return {"v0": v0, "v1": v1.astype(np.int64)}, n
+
+
+@pytest.fixture(scope="module")
+def banding():
+    slots, n = _mesh_graph()
+    vb = gb.plan_vertex_banding({"G": slots}, n, force=True)
+    assert vb is not None
+    return vb, slots, n
+
+
+def _meta(plan_g, n):
+    return dict(vb=plan_g.vb, n_vblk=plan_g.n_vblk, eb=plan_g.eb,
+                n_verts=n)
+
+
+def test_plan_shapes(banding):
+    vb, slots, n = banding
+    g = vb.graphs["G"]
+    assert g.ep == g.n_vblk * g.eb
+    assert g.pad_mask.sum() == len(slots["v0"])
+    assert sorted(vb.perm) == list(range(n))
+    # window-locality invariant: every non-pad loc is inside [0, 3VB)
+    for lc in g.loc.values():
+        real = lc[lc >= 0]
+        assert real.min() >= 0 and real.max() < 3 * g.vb
+
+
+def test_gather_exact(banding):
+    vb, slots, n = banding
+    g = vb.graphs["G"]
+    p = np.random.RandomState(1).randn(n, 5).astype(np.float32)
+    p_perm = p[vb.perm]
+    for sname in ("v0", "v1"):
+        got = np.asarray(
+            jax.jit(
+                lambda v: gb.banded_gather(
+                    jnp.asarray(g.loc[sname]), v, **_meta(g, n))
+            )(jnp.asarray(p_perm))
+        )
+        # padded row e_perm[i] must equal p[slot[i]] exactly
+        want = p[slots[sname]]
+        np.testing.assert_array_equal(got[g.edge_perm], want)
+        # pad rows are zero
+        assert np.all(got[~g.pad_mask] == 0)
+
+
+def test_scatter_matches_segment_sum(banding):
+    vb, slots, n = banding
+    g = vb.graphs["G"]
+    e = np.zeros((g.ep, 3), np.float32)
+    rng = np.random.RandomState(2)
+    e[g.pad_mask] = rng.randn(int(g.pad_mask.sum()), 3)
+    got = np.asarray(
+        jax.jit(
+            lambda v: gb.banded_scatter(
+                jnp.asarray(g.loc["v1"]), v, **_meta(g, n))
+        )(jnp.asarray(e))
+    )
+    want = np.zeros((n, 3), np.float64)
+    # scatter target v1, in the permuted vertex order
+    tgt = vb.inv_perm[slots["v1"]]
+    np.add.at(want, tgt, e[g.edge_perm].astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_transpose_pairing(banding):
+    """linear_transpose of gather is scatter (so J^T routes correctly)."""
+    vb, slots, n = banding
+    g = vb.graphs["G"]
+    loc = jnp.asarray(g.loc["v0"])
+    meta = _meta(g, n)
+
+    def fn(v):
+        return gb.banded_gather(loc, v, **meta) * 2.0
+
+    v0 = jnp.zeros((n, 2), jnp.float32)
+    _, jvp = jax.linearize(fn, v0)
+    jt = jax.linear_transpose(jvp, v0)
+    ct = jnp.asarray(
+        np.random.RandomState(3).randn(g.ep, 2).astype(np.float32))
+    (got,) = jt(ct)
+    want = 2.0 * gb.banded_scatter(loc, ct, **meta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_planning_rejects_unbandable():
+    rng = np.random.RandomState(4)
+    n, e = 4000, 30000
+    slots = {"v0": rng.randint(0, n, e), "v1": rng.randint(0, n, e)}
+    assert gb.plan_vertex_banding({"G": slots}, n, max_bandwidth=256) is None
+    # and tiny graphs are skipped without force
+    s2, n2 = _mesh_graph(n=100)
+    assert gb.plan_vertex_banding({"G": s2}, n2) is None
