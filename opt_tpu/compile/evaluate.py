@@ -307,7 +307,7 @@ class EvalContext:
     """
 
     def __init__(self, domain, shape, images, params, graph_indices, dtype,
-                 real_shape=None, shift_impl=None):
+                 real_shape=None, shift_impl=None, graph_banding=None):
         self.domain = domain
         self.shape = shape  # grid spatial shape, or (E,) for graphs
         self.real_shape = real_shape  # real sizes when arrays are padded
@@ -315,6 +315,10 @@ class EvalContext:
         self.images = images
         self.params = params
         self.graph_indices = graph_indices
+        # gname -> banded-engine device arrays (ops/graph_banded.py);
+        # when set for a graph, slot gathers run as MXU one-hot matmuls
+        # over the padded (n_vblk*eb,) edge layout
+        self.graph_banding = graph_banding or {}
         self.dtype = dtype
         self.memo = {}
         # optional override table: leaf key -> array, used by the structural
@@ -349,7 +353,13 @@ class EvalContext:
         big = (
             jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
         )
-        gathered = jnp.take(big, vidx, axis=0)
+        band = self.graph_banding.get(gname)
+        if band is not None:
+            from ..ops.graph_banded import banded_gather
+
+            gathered = banded_gather(band.loc[slot], big, **band.meta())
+        else:
+            gathered = jnp.take(big, vidx, axis=0)
         self._slot_cache[key] = (gathered, offsets)
         return gathered, offsets
 

@@ -96,6 +96,7 @@ class ProblemFunctions:
             dtype=self.dtype,
             real_shape=real,
             shift_impl=self._shift,
+            graph_banding=data.get("graph_banding"),
         )
 
     def exclude_mask(self, ispace_key, x, data):
@@ -171,6 +172,15 @@ class ProblemFunctions:
                 rm = ev.real_domain_mask(ctx.shape, ctx.real_shape)
                 if rm is not None:
                     fields = [jnp.where(rm, f, 0.0) for f in fields]
+            if g.kind == "graph":
+                # banded layout pads edge rows; padded rows are not real
+                # residuals (their J rows are structurally zero, but the
+                # residual value itself can be nonzero for energies with
+                # constant terms) -- zero them like real_domain_mask
+                band = ctx.graph_banding.get(g.graph.name)
+                if band is not None:
+                    pm = band.pad_mask
+                    fields = [jnp.where(pm, f, 0.0) for f in fields]
             if masked and g.kind == "centered":
                 m = self.exclude_mask(g.ispace.key(), x, data)
                 if m is not None:
@@ -301,11 +311,22 @@ class ProblemFunctions:
                 if isinstance(a.index, E.Offset):
                     contrib = self._scatter(d2, a.index.data)
                 else:
-                    vidx = gidx[a.index.graph.name][a.index.slot]
-                    contrib = jax.ops.segment_sum(
-                        d2, vidx,
-                        num_segments=self.unknown_shapes[img.name][0],
+                    band = (data.get("graph_banding") or {}).get(
+                        a.index.graph.name
                     )
+                    if band is not None:
+                        from ..ops.graph_banded import banded_scatter
+
+                        contrib = banded_scatter(
+                            band.loc[a.index.slot], d2[:, None],
+                            **band.meta(),
+                        )[:, 0]
+                    else:
+                        vidx = gidx[a.index.graph.name][a.index.slot]
+                        contrib = jax.ops.segment_sum(
+                            d2, vidx,
+                            num_segments=self.unknown_shapes[img.name][0],
+                        )
                 acc[img.name][a.channel] = (
                     acc[img.name][a.channel] + contrib
                 )

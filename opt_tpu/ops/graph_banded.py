@@ -164,6 +164,35 @@ def plan_vertex_banding(graphs_np, n_verts, max_bandwidth=2048,
     return VertexBanding(n_verts, perm, inv, vb, bw, plans)
 
 
+@jax.tree_util.register_pytree_node_class
+class DeviceBanding:
+    """Device-side banding for one graph: loc index arrays + pad mask are
+    pytree leaves; the tiling geometry is static aux data (so it stays a
+    Python int under jit instead of being traced)."""
+
+    def __init__(self, loc, pad_mask, vb, n_vblk, eb, n_verts):
+        self.loc = loc            # slot -> (n_vblk, eb) int32
+        self.pad_mask = pad_mask  # (n_vblk*eb,) bool
+        self.vb = vb
+        self.n_vblk = n_vblk
+        self.eb = eb
+        self.n_verts = n_verts
+
+    def meta(self):
+        return dict(vb=self.vb, n_vblk=self.n_vblk, eb=self.eb,
+                    n_verts=self.n_verts)
+
+    def tree_flatten(self):
+        return (
+            (self.loc, self.pad_mask),
+            (self.vb, self.n_vblk, self.eb, self.n_verts),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
 # ---------------------------------------------------------------------------
 # device ops
 # ---------------------------------------------------------------------------

@@ -107,7 +107,9 @@ def solve_sharded(plan, inputs, mesh, n_iterations=None):
     partitions it.  Returns the final cost (replicated scalar)."""
     import jax.numpy as jnp
 
-    x, data = plan.bind(inputs)
+    # flat original-order indices: GSPMD shards edge/vertex axes directly;
+    # the banded engine's block layout is a single-chip optimization
+    x, data = plan.bind(inputs, graph_mode="take")
     x, data = shard_problem(plan, x, data, mesh)
     plan._data = data
     sp = plan._sp_device()

@@ -69,6 +69,7 @@ class OptState:
         pcg_variant="classic",
         guarded_invert_type="CERES",
         jacobi_scaling="ONCE_PER_SOLVE",
+        graph_mode=None,
     ):
         if double_precision:
             jax.config.update("jax_enable_x64", True)
@@ -88,6 +89,19 @@ class OptState:
         self.pcg_variant = pcg_variant
         self.guarded_invert_type = guarded_invert_type
         self.jacobi_scaling = jacobi_scaling
+        if graph_mode is None:
+            import os
+
+            graph_mode = os.environ.get("OPT_TPU_GRAPH_MODE", "auto")
+        if graph_mode not in ("auto", "banded", "take"):
+            raise ValueError(
+                f"graph_mode must be 'auto', 'banded' or 'take', "
+                f"got {graph_mode!r}"
+            )
+        # graph gather/scatter engine: 'banded' forces the MXU one-hot
+        # engine (ops/graph_banded.py), 'take' forces XLA take/segment_sum,
+        # 'auto' picks banded when the graph is large and RCM-bandable.
+        self.graph_mode = graph_mode
         self.dtype = jnp.float64 if double_precision else jnp.float32
 
     def problem_define(self, energy, kind="gaussNewtonGPU"):
@@ -187,6 +201,8 @@ class Plan:
         self._state = None
         self._data = None
         self._cleaned = False
+        self._banding_cache = {}
+        self._active_banding = {}
         self.timer = KernelTimer(enabled=state.collect_kernel_timing)
         if state.verbosity > 1:
             self.print_allocation_info()
@@ -261,7 +277,11 @@ class Plan:
 
     # -- data binding (util.initParameters parity, util.t:677-721) ------------
 
-    def bind(self, inputs):
+    def bind(self, inputs, graph_mode=None):
+        """Bind runtime arrays.  graph_mode overrides the state-level
+        graph engine choice for this bind (runtime/baseline.py and the
+        sharded path force 'take': the materialized-J export and GSPMD
+        partitioning expect original-order flat indices)."""
         dtype = self.state.dtype
         images = {}
         unknowns = {}
@@ -302,6 +322,7 @@ class Plan:
                 raise KeyError(f"missing param input {name!r}")
             params[name] = jnp.asarray(float(inputs[name]), dtype)
 
+        slots_np = {}
         for gname, g in self.spec.graphs.items():
             slots = {}
             gin = inputs.get(gname)
@@ -326,18 +347,118 @@ class Plan:
                         f"range [0, {n_verts}): min={vnp.min()}, "
                         f"max={vnp.max()}"
                     )
-                slots[sname] = jnp.asarray(vnp, jnp.int32)
+                slots[sname] = vnp.astype(np.int32)
             n = {s.shape for s in slots.values()}
             if len(n) != 1:
                 raise ValueError(f"graph {gname}: slot length mismatch")
-            graph_indices[gname] = slots
+            slots_np[gname] = slots
+
+        banding, graph_banding = self._plan_banding(slots_np, graph_mode)
+        self._active_banding = banding
+        if banding:
+            for key, vb in banding.items():
+                perm = jnp.asarray(vb.perm, jnp.int32)
+                for store in (unknowns, images):
+                    for name, arr in store.items():
+                        im = self.spec.images[name]
+                        if im.ispace.key() == key:
+                            store[name] = jnp.take(arr, perm, axis=0)
+
+        for gname, slots in slots_np.items():
+            g = self.spec.graphs[gname]
+            key = next(iter(g.slots.values())).ispace.key()
+            vb = banding.get(key) if banding else None
+            gplan = vb.graphs.get(gname) if vb is not None else None
+            if gplan is not None:
+                # padded flat indices in the permuted vertex order; pad
+                # rows point at vertex 0 and are masked/dropped everywhere
+                flat = {}
+                for sname, lc in gplan.loc.items():
+                    blk = np.arange(gplan.n_vblk, dtype=np.int64)[:, None]
+                    gidx = lc.astype(np.int64) + (blk - 1) * gplan.vb
+                    gidx[lc < 0] = 0
+                    flat[sname] = jnp.asarray(
+                        gidx.reshape(-1), jnp.int32
+                    )
+                graph_indices[gname] = flat
+            else:
+                graph_indices[gname] = {
+                    s: jnp.asarray(a, jnp.int32)
+                    for s, a in slots.items()
+                }
 
         data = {
             "images": images,
             "params": params,
             "graph_indices": graph_indices,
         }
+        if graph_banding:
+            data["graph_banding"] = graph_banding
         return unknowns, data
+
+    def _plan_banding(self, slots_np, graph_mode=None):
+        """Decide/plan the banded graph engine for this bind.
+
+        Returns ({ispace_key: VertexBanding}, {gname: device banding dict})
+        -- both empty when disabled."""
+        mode = graph_mode or self.state.graph_mode
+        cfg = self.config
+        if (
+            not slots_np
+            or mode == "take"
+            or self.state.dtype != jnp.float32
+            or cfg.use_materialized_jacobian
+            or cfg.use_fused_jtj
+        ):
+            return {}, {}
+        from ..ops import graph_banded as gb
+
+        # group graphs by vertex ispace; skip graphs with mixed spaces
+        by_space = {}
+        for gname, g in self.spec.graphs.items():
+            keys = {s.ispace.key() for s in g.slots.values()}
+            if len(keys) != 1:
+                continue
+            by_space.setdefault(keys.pop(), {})[gname] = slots_np[gname]
+
+        cache_key_parts = [mode]
+        for key, graphs in sorted(by_space.items()):
+            for gname, slots in sorted(graphs.items()):
+                for sname, arr in sorted(slots.items()):
+                    cache_key_parts.append(
+                        (key, gname, sname, arr.tobytes())
+                    )
+        cache_key = hash(tuple(cache_key_parts))
+        if cache_key in self._banding_cache:
+            banding = self._banding_cache[cache_key]
+        else:
+            banding = {}
+            for key, graphs in by_space.items():
+                n_verts = None
+                for gname in graphs:
+                    g = self.spec.graphs[gname]
+                    n_verts = next(iter(g.slots.values())).ispace.shape[0]
+                vb = gb.plan_vertex_banding(
+                    graphs, n_verts, force=(mode == "banded")
+                )
+                if vb is not None:
+                    banding[key] = vb
+            self._banding_cache[cache_key] = banding
+
+        graph_banding = {}
+        for key, vb in banding.items():
+            for gname, gplan in vb.graphs.items():
+                graph_banding[gname] = gb.DeviceBanding(
+                    loc={
+                        s: jnp.asarray(lc) for s, lc in gplan.loc.items()
+                    },
+                    pad_mask=jnp.asarray(gplan.pad_mask),
+                    vb=gplan.vb,
+                    n_vblk=gplan.n_vblk,
+                    eb=gplan.eb,
+                    n_verts=vb.n_verts,
+                )
+        return banding, graph_banding
 
     # -- lifecycle --------------------------------------------------------------
 
@@ -468,7 +589,19 @@ class Plan:
 
     def unknowns(self):
         assert self._state is not None
-        return {k: np.asarray(v) for k, v in self._state["x"].items()}
+        out = {}
+        for k, v in self._state["x"].items():
+            arr = np.asarray(v)
+            if self._active_banding:
+                # banded binds permute vertex arrays (RCM); undo at the
+                # user-facing boundary
+                vb = self._active_banding.get(
+                    self.spec.images[k].ispace.key()
+                )
+                if vb is not None:
+                    arr = arr[vb.inv_perm]
+            out[k] = arr
+        return out
 
     # -- checkpoint / resume ----------------------------------------------------
     # The reference's only resumability is the Init/Step split plus LM's

@@ -28,7 +28,9 @@ class ScipyBaselineSolver:
         from opt_tpu.sparse.materialize import MaterializedJacobian
 
         plan = self.plan
-        x0, data = plan.bind(inputs)
+        # force original-order flat graph indices: the materialized-J
+        # export below does not understand the banded padded edge layout
+        x0, data = plan.bind(inputs, graph_mode="take")
         xf0, unravel = ravel_pytree(x0)
         funcs = plan.funcs
 

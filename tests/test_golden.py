@@ -176,3 +176,19 @@ def test_golden_arap_double_precision():
     got = solver.get_cost("Opt(GN)")
     rel = abs(got - 7183.464843) / 7183.464843
     assert rel < 1e-5, f"double-precision arap: {got} (rel {rel})"
+
+
+@pytest.mark.parametrize(
+    "name", ["arap_mesh_deformation", "cotangent_mesh_smoothing"]
+)
+def test_golden_banded_graph_engine(name, monkeypatch):
+    """Graph goldens through the banded MXU gather/scatter engine
+    (ops/graph_banded.py), forced on despite the small test meshes: the
+    banded path must satisfy the same reference-CUDA golden contract as
+    take/segment_sum."""
+    monkeypatch.setenv("OPT_TPU_GRAPH_MODE", "banded")
+    argv, golden, _src = GOLDEN_CASES[name]
+    solver = _run(name, list(argv))
+    got = solver.get_cost("Opt(GN)")
+    rel = abs(got - golden) / abs(golden)
+    assert rel < RTOL, f"{name} banded: {got} vs {golden} (rel {rel:.3g})"

@@ -108,3 +108,63 @@ def test_planning_rejects_unbandable():
     # and tiny graphs are skipped without force
     s2, n2 = _mesh_graph(n=100)
     assert gb.plan_vertex_banding({"G": s2}, n2) is None
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: banded engine inside a full solve
+# ---------------------------------------------------------------------------
+
+
+def _arap_inputs(n, slots, seed=5):
+    rng = np.random.RandomState(seed)
+    ur = rng.randn(n, 3).astype(np.float32)
+    cons = np.full((n, 3), -1e7, np.float32)
+    sel = rng.choice(n, max(4, n // 20), replace=False)
+    cons[sel] = ur[sel] + 0.1
+    return {
+        "Offset": ur.copy(),
+        "Angle": np.zeros((n, 3), np.float32),
+        "UrShape": ur,
+        "Constraints": cons,
+        "w_fitSqrt": 2.0,
+        "w_regSqrt": 1.0,
+        "G": {"v0": slots["v0"], "v1": slots["v1"]},
+    }
+
+
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_arap_banded_matches_take(kind):
+    import opt_tpu
+    from opt_tpu import energies
+
+    slots, n = _mesh_graph(seed=7, n=300, deg=6, band=29)
+    e = len(slots["v0"])
+    inputs = _arap_inputs(n, slots)
+
+    results = {}
+    for mode in ("take", "banded"):
+        state = opt_tpu.NewState(graph_mode=mode)
+        plan = state.problem_plan(
+            state.problem_define(energies.arap_mesh_deformation, kind),
+            [n, e],
+        )
+        plan.set_solver_parameter("nIterations", 4)
+        plan.set_solver_parameter("lIterations", 20)
+        plan.init(inputs)
+        init_cost = plan.current_cost()
+        while plan.step():
+            pass
+        results[mode] = (init_cost, plan.final_cost(), plan.unknowns())
+
+    ic_t, fc_t, x_t = results["take"]
+    ic_b, fc_b, x_b = results["banded"]
+    assert ic_b == pytest.approx(ic_t, rel=1e-6)
+    # scatters sum in a different f32 order than segment_sum, so iterate
+    # trajectories drift slightly; the near-zero optimum (cost ~3e-5 from
+    # ~1e3 initial) amplifies the relative difference
+    assert fc_b == pytest.approx(fc_t, rel=1e-3)
+    # unknowns come back in the ORIGINAL vertex order despite the internal
+    # RCM permutation
+    np.testing.assert_allclose(
+        x_b["Offset"], x_t["Offset"], rtol=1e-3, atol=1e-4
+    )
