@@ -107,18 +107,39 @@ def main():
         aux_arap(sys.stderr)
     except Exception as e:
         print(f"# arap aux bench failed: {e!r:.120}", file=sys.stderr)
+    try:
+        aux_sfs(sys.stderr)
+    except Exception as e:
+        print(f"# sfs aux bench failed: {e!r:.120}", file=sys.stderr)
+
+
+def tri_grid_graph(w, h):
+    """Triangulated-grid mesh edges, both orientations (deterministic
+    stand-in for the reference's PLY meshes -- same ~6-neighbor topology
+    real arap workloads have)."""
+    vid = np.arange(w * h).reshape(h, w)
+    pairs = [
+        (vid[:, :-1].ravel(), vid[:, 1:].ravel()),
+        (vid[:-1, :].ravel(), vid[1:, :].ravel()),
+        (vid[:-1, :-1].ravel(), vid[1:, 1:].ravel()),
+    ]
+    v0 = np.concatenate([a for a, b in pairs] + [b for a, b in pairs])
+    v1 = np.concatenate([b for a, b in pairs] + [a for a, b in pairs])
+    return v0.astype(np.int32), v1.astype(np.int32)
 
 
 def aux_arap(err):
-    """Graph-domain auxiliary benchmark: arap 10k vertices / 60k edges."""
+    """Graph-domain auxiliary benchmark: arap ~10k vertices / ~62k mesh
+    edges (banded MXU graph engine active in auto mode)."""
     import jax
     import jax.numpy as jnp
     import opt_tpu
     from opt_tpu import energies
 
-    N, E = 10002, 60000
+    W = H = 102
+    v0, v1 = tri_grid_graph(W, H)
+    N, E = W * H, len(v0)
     rng = np.random.RandomState(0)
-    i = np.arange(E)
     ur = rng.randn(N, 3).astype(np.float32)
     cons = np.full((N, 3), -1e7, np.float32)
     sel = rng.choice(N, 200, replace=False)
@@ -127,7 +148,7 @@ def aux_arap(err):
         "Offset": ur.copy(), "Angle": np.zeros((N, 3), np.float32),
         "UrShape": ur, "Constraints": cons,
         "w_fitSqrt": 2.0, "w_regSqrt": 1.0,
-        "G": {"v0": i % N, "v1": (i * 7 + 1) % N},
+        "G": {"v0": v0, "v1": v1},
     }
     state = opt_tpu.NewState()
     plan = state.problem_plan(
@@ -152,6 +173,71 @@ def aux_arap(err):
         times.append((time.perf_counter() - t0) * 1e3)
     print(
         f"# aux arap_10k_gn_solve(8x100): {min(times):.1f} ms "
+        f"final_cost={c:.6g}", file=err,
+    )
+
+
+def aux_sfs(err):
+    """shape_from_shading at the reference perf config (nonLinearIter=60,
+    linearIter=10, examples/shape_from_shading/src/main.cpp:64-65) on the
+    reference dataset -- the second north-star workload (BASELINE.md)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+    from opt_tpu.io.imagedump import read_imagedump
+
+    data_dir = os.environ.get(
+        "OPT_TPU_DATA", "/root/reference/examples/data"
+    )
+    prefix = os.path.join(data_dir, "shape_from_shading", "default")
+    if not os.path.exists(prefix + "_initialUnknown.imagedump"):
+        print("# aux sfs: dataset not found; skipped", file=err)
+        return
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    from shape_from_shading import load_sfs_parameters
+
+    init_unknown = read_imagedump(prefix + "_initialUnknown.imagedump")
+    target_depth = read_imagedump(prefix + "_targetDepth.imagedump")
+    target_intensity = read_imagedump(
+        prefix + "_targetIntensity.imagedump")
+    edge_masks = read_imagedump(prefix + "_maskEdgeMap.imagedump")
+    H, W = init_unknown.shape[:2]
+    inputs = {
+        "X": init_unknown.copy(),
+        "D_i": target_depth,
+        "Im": target_intensity,
+        "edgeMaskR": edge_masks[:H, :, 0].astype(np.float32)[..., None],
+        "edgeMaskC": edge_masks[H:, :, 0].astype(np.float32)[..., None],
+        **load_sfs_parameters(prefix + ".SFSSolverParameters"),
+    }
+    n_outer, n_lin = 60, 10
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.shape_from_shading,
+                             "gaussNewtonGPU"), [W, H],
+    )
+    plan.set_solver_parameter("nIterations", n_outer)
+    plan.set_solver_parameter("lIterations", n_lin)
+    x, data = plan.bind(inputs)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
+    st = plan._full_solve_fn(x, data, sp)
+    _ = float(st["prev_cost"])
+    times = []
+    for rep in (1, 2, 3):
+        xr = dict(x)
+        xr["X"] = x["X"] + np.float32(rep * 1e-5)
+        jax.block_until_ready(xr)
+        t0 = time.perf_counter()
+        st = plan._full_solve_fn(xr, data, sp)
+        c = float(st["prev_cost"])
+        times.append((time.perf_counter() - t0) * 1e3)
+    print(
+        f"# aux sfs_{W}x{H}_gn_solve(60x10): {min(times):.1f} ms "
         f"final_cost={c:.6g}", file=err,
     )
 
