@@ -325,6 +325,10 @@ class EvalContext:
         # diag(J^T J) computation to re-route unknown reads through explicit
         # leaf inputs (see plan.py).
         self.leaf_overrides = None
+        # ComputedArray buffers: name -> [channel arrays], materialized on
+        # first access (the reference's precompute, o.t:3131-3153) and
+        # shared across every shifted read in this context
+        self._computed_cache = {}
         # per-(graph, slot) batched gathers: one wide take per slot instead
         # of one per (image, channel) read.  XLA TPU row-gathers cost
         # ~0.3 ms each at 60k rows, so the op count dominates graph-domain
@@ -416,9 +420,36 @@ class EvalContext:
             return index_coords(self.shape, e.dim, e.shift_, dtype)
         if isinstance(e, E.SampledAccess):
             return self._eval_sampled(e)
+        if isinstance(e, E.ComputedAccess):
+            return self._eval_computed(e)
         if isinstance(e, E.Apply):
             return self._eval_apply(e)
         raise TypeError(f"cannot evaluate {e!r}")
+
+    def _eval_computed(self, e: E.ComputedAccess):
+        """ComputedArray read: materialized buffer + shifted view.
+
+        On the leaf-partials path (leaf_overrides set), the inline view is
+        evaluated instead so per-leaf overrides reach the unknown reads at
+        their COMPOSED offsets (diag(J^T J) / materialized-J correctness);
+        everywhere else the buffer is computed once per context --
+        evaluating e.g. the SFS shading expression once instead of once
+        per stencil tap (the reference's precompute,
+        solverGPUGaussNewton.t:1876,2242)."""
+        if self.leaf_overrides is not None:
+            return self.eval(e.expanded())
+        bufs = self._computed_cache.get(e.cimage.name)
+        if bufs is None:
+            bufs = [self.eval(x) for x in e.cimage.exprs]
+            bufs = [
+                jnp.broadcast_to(_as_float(b, self.dtype), self.shape)
+                for b in bufs
+            ]
+            self._computed_cache[e.cimage.name] = bufs
+        buf = bufs[e.channel]
+        if all(o == 0 for o in e.offset):
+            return buf
+        return self.shift_impl(buf, e.offset)
 
     def _eval_sampled(self, e: E.SampledAccess):
         sim = e.simage

@@ -88,6 +88,10 @@ def _analyze(exp):
                     raise ValueError(
                         "residual contains image reads from multiple domains"
                     )
+        elif isinstance(a, E.ComputedAccess):
+            # classification/leaves/bbox must see through the buffer to
+            # the composed unknown taps (the inline view)
+            E.visit(a.expanded(), on_node)
         elif isinstance(a, E.BoundsAccess):
             uses_bounds["value"] = True
         elif isinstance(a, E.SampledAccess):

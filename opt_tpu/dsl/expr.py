@@ -208,6 +208,44 @@ class ParamValue(Exp):
         return f"Param({self.param.name})"
 
 
+class ComputedAccess(Exp):
+    """Read of a ComputedArray channel at a static offset.
+
+    The reference materializes ComputedArrays into buffers during
+    ``precompute`` (once per linearization point) and reads them back with
+    guarded loads (o.t:3131-3153, 1686-1719; re-run per step at
+    solverGPUGaussNewton.t:1876,2242).  This node gives the evaluator the
+    same choice: materialize the defining expression once per evaluation
+    context and read shifted views of the buffer (the hot solve path), or
+    inline the shifted defining expression (``expanded()``) where the
+    leaf-partials machinery needs to see through it (diag(J^T J) /
+    materialized-J).
+    """
+
+    __slots__ = ("cimage", "channel", "offset", "_expanded")
+
+    def __init__(self, cimage, channel, offset):
+        self.cimage = cimage
+        self.channel = int(channel)
+        self.offset = tuple(int(o) for o in offset)
+        self._expanded = None
+
+    def expanded(self):
+        """The inline (shifted defining expression) view, cached."""
+        if self._expanded is None:
+            self._expanded = shiftexp(
+                self.cimage.exprs[self.channel], self.offset
+            )
+        return self._expanded
+
+    def key(self):
+        return ("computed", self.cimage.name, self.channel, self.offset)
+
+    def __repr__(self):
+        off = ",".join(map(str, self.offset))
+        return f"{self.cimage.name}[{self.channel}]({off})"
+
+
 class SampledAccess(Exp):
     """Bilinear image sample at continuous expression coordinates.
 
@@ -470,6 +508,11 @@ def shiftexp(e, offset, memo=None):
     elif isinstance(e, ImageAccess):
         assert isinstance(e.index, Offset), "cannot shift graph accesses"
         r = ImageAccess(e.image, e.index.shift(offset), e.channel)
+    elif isinstance(e, ComputedAccess):
+        r = ComputedAccess(
+            e.cimage, e.channel,
+            tuple(a + b for a, b in zip(e.offset, offset)),
+        )
     elif isinstance(e, BoundsAccess):
         r = e.shift(offset)
     elif isinstance(e, IndexValue):

@@ -134,12 +134,14 @@ class ComputedImage:
     """ComputedArray: a named expression over the grid
     (reference: ProblemSpecAD:ComputedImage o.t:1686-1719).
 
-    The reference materializes these into buffers during ``precompute`` and
-    differentiates residuals through stored gradient images.  Here accesses
-    inline the (re-centered) defining expression, which is mathematically
-    identical because the reference re-runs precompute whenever the unknowns
-    change (solverGPUGaussNewton.t:1876,2242).  A materialized evaluation
-    path can reuse the same handle later for performance parity.
+    The reference materializes these into buffers during ``precompute``
+    (re-run whenever the unknowns change, solverGPUGaussNewton.t:1876,2242)
+    and differentiates residuals through the stored buffers.  Accesses
+    yield ComputedAccess nodes; the evaluator materializes the defining
+    expression once per context and reads shifted views on the solve path
+    (matching the reference), while diag(J^T J)/materialized-J expand the
+    inline view so leaf partials see through to the unknowns
+    (compile/evaluate.py, compile/terms.py).
     """
 
     __slots__ = ("name", "ispace", "exprs")
@@ -157,10 +159,12 @@ class ComputedImage:
         off = tuple(int(o) for o in offsets)
         if len(off) != self.ispace.ndims:
             raise ValueError(f"{self.name}: offset rank mismatch")
-        shifted = [E.shiftexp(x, off) for x in self.exprs]
-        if len(shifted) == 1:
-            return shifted[0]
-        return E.ExpVector(shifted)
+        nodes = [
+            E.ComputedAccess(self, c, off) for c in range(len(self.exprs))
+        ]
+        if len(nodes) == 1:
+            return nodes[0]
+        return E.ExpVector(nodes)
 
 
 class SampledImage:
