@@ -92,6 +92,22 @@ def test_shape_from_shading_runs():
     assert abs(got - golden) / golden < 1e-4
 
 
+def test_robust_nonrigid_alignment_self_golden():
+    """Deterministic self-golden: the spurious-correspondence RNG is
+    pinned (MT19937(230948), robust_nonrigid_alignment.py:96), so the
+    first solve is reproducible at rtol 1e-5 even though the REFERENCE
+    golden is flaky (libstdc++ RNG internals, test_final_cost.py:41-43).
+    The gated slow test below keeps the ~10% check against the reference
+    value."""
+    import robust_nonrigid_alignment as R
+
+    solver = R.run(["--noOutput", "true"], max_targets=1)
+    golden = 65.11915588378906  # self-measured, pinned RNG
+    rel = abs(solver.first_solve_cost - golden) / golden
+    assert rel < RTOL, f"robust self-golden: {solver.first_solve_cost} " \
+                       f"vs {golden} (rel {rel:.3g})"
+
+
 @pytest.mark.skipif(
     not os.environ.get("OPT_TPU_RUN_SLOW"),
     reason="slow; flaky golden in the reference itself",
