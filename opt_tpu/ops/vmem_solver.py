@@ -40,11 +40,20 @@ from ..dsl.env import EnergyEnv
 from ..dsl.spec import ProblemSpec
 from ..solver.core import make_solver
 
-# Conservative: Mosaic stack-allocates evaluator temporaries (leaf-partial
-# chains) beyond the counted buffers; image_warping at 256^2 (est 6.8 MB)
-# OOMs a 16 MB core while 192^2 (est 3.4 MB) fits.  A tighter per-energy
-# temporary estimate is round-2 work (docs/ROUND2_TODO.md).
-VMEM_BUDGET_BYTES = 5 * 1024 * 1024
+# Mosaic stack-allocates evaluator temporaries (residual fields, tangent
+# planes, transpose scratch) beyond the counted image/work-vector buffers.
+# estimate_vmem_bytes models them as TEMP_PLANES_FACTOR live planes per
+# residual channel on the residual index space.  Calibration datapoints
+# (v5e, 16 MB/core, PADDED estimates as supports() computes them):
+# image_warping (10 residual planes) fits at 192^2 and OOMs at 256^2;
+# with factor 4 the padded estimates are 12.4 / 17.3 MB against the
+# 14 MB budget -- both classified correctly, with room for low-channel
+# energies the old flat 5 MB cap rejected.  Note the 512^2 image_warping golden can NEVER run
+# whole-solve-in-VMEM: its counted state alone (3 ch unknowns x 6 work
+# vectors + 5 ch images) is ~27 MB; larger-than-VMEM grids belong to the
+# tiled/XLA paths.
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+TEMP_PLANES_FACTOR = 4
 
 
 def _roundup(v, m):
@@ -64,7 +73,10 @@ def _padded_dim_sizes(spec, dims_positional):
 
 
 def estimate_vmem_bytes(funcs, uses_lambda=True):
-    """Images + work vectors (GN: x,delta,r,p,pre,Ap; LM adds ssq,b)."""
+    """Images + work vectors (GN: x,delta,r,p,pre,Ap; LM adds ssq,b),
+    plus a model of Mosaic's stack-allocated evaluator temporaries:
+    TEMP_PLANES_FACTOR live planes per residual channel on its index
+    space (see the calibration note at VMEM_BUDGET_BYTES)."""
     img_elems = 0
     for im in funcs.spec.images.values():
         if im.name in funcs.aliases:
@@ -72,8 +84,16 @@ def estimate_vmem_bytes(funcs, uses_lambda=True):
         img_elems += math.prod(im.ispace.shape) * im.channels
     unk_elems = sum(math.prod(s) for s in funcs.unknown_shapes.values())
     n_vec = 8 if uses_lambda else 6
+    temp_elems = 0
+    for g in funcs.groups:
+        if g.kind == "centered":
+            temp_elems += (
+                TEMP_PLANES_FACTOR
+                * len(g.exprs)
+                * math.prod(g.ispace.shape)
+            )
     itemsize = jnp.dtype(funcs.dtype).itemsize
-    return itemsize * (img_elems + n_vec * unk_elems)
+    return itemsize * (img_elems + n_vec * unk_elems + temp_elems)
 
 
 def supports(plan):
