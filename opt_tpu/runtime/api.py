@@ -462,13 +462,30 @@ class Plan:
 
     # -- lifecycle --------------------------------------------------------------
 
+    def _profiled(self):
+        """Per-kernel profiled stepper (collect_kernel_timing mode):
+        reference kernel names, one dispatch per kernel
+        (opt_tpu/solver/profiled.py)."""
+        if getattr(self, "_profiled_stepper", None) is None:
+            from ..solver.profiled import ProfiledStepper
+
+            self._profiled_stepper = ProfiledStepper(
+                self.funcs, self.config
+            )
+        return self._profiled_stepper
+
     def init(self, inputs):
         """Opt_ProblemInit: bind data, compute initial cost."""
         x, data = self.bind(inputs)
         self._data = data
         self._cleaned = False
         with self.timer.event("init"):
-            self._state = self._init_fn(x, data, self._sp_device())
+            if self.state.collect_kernel_timing:
+                self._state = self._profiled().init(
+                    x, data, self.solver_params, self.timer
+                )
+            else:
+                self._state = self._init_fn(x, data, self._sp_device())
             jax.block_until_ready(self._state)
         return self
 
@@ -486,7 +503,14 @@ class Plan:
             self._cleanup()
             return 0
         with self.timer.event(f"step_{int(s['n_iter'])}"):
-            self._state = self._step_fn(s, self._data, self._sp_device())
+            if self.state.collect_kernel_timing:
+                self._state = self._profiled().step(
+                    s, self._data, self.solver_params, self.timer
+                )
+            else:
+                self._state = self._step_fn(
+                    s, self._data, self._sp_device()
+                )
             jax.block_until_ready(self._state)
         if self.state.verbosity > 1:
             print(
