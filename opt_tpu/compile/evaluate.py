@@ -190,45 +190,56 @@ def scatter_shift(a, offsets):
     return shift_read(a, tuple(-int(o) for o in offsets))
 
 
-def bounds_mask(shape, mins, maxs, real_shape=None):
+def bounds_mask(shape, mins, maxs, real_shape=None, coord_offset=None):
     """InBounds mask over the grid (genbounds, o.t:585-607).
 
     Computed with iota + compares (no materialized constants), so it works
     identically under jit, inside lax loops, and inside Pallas kernels.
     real_shape: when arrays are padded for hardware alignment (e.g. the
     VMEM Pallas solver pads the lane dim to 128), bounds semantics follow
-    the REAL domain sizes."""
+    the REAL domain sizes.
+    coord_offset: per-axis GLOBAL coordinate of the array's [0,...] corner
+    (possibly traced, e.g. shard_map row offsets); bounds then test global
+    positions against the real (global) sizes."""
     nd = len(shape)
     real = tuple(real_shape) if real_shape is not None else tuple(shape)
     m = None
     for i in range(len(mins)):
         axis = nd - 1 - i
         coord = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
-        mi = (coord >= -int(mins[i])) & (coord < int(real[axis]) - int(maxs[i]))
+        if coord_offset is not None:
+            coord = coord + coord_offset[axis]
+        mi = (coord >= -int(mins[i])) & (coord < real[axis] - int(maxs[i]))
         m = mi if m is None else (m & mi)
     if m is None:
         m = jnp.ones(shape, bool)
     return m
 
 
-def real_domain_mask(shape, real_shape):
-    """True inside the real (unpadded) domain."""
+def real_domain_mask(shape, real_shape, coord_offset=None):
+    """True inside the real (unpadded, global) domain."""
     nd = len(shape)
     m = None
     for axis in range(nd):
-        if shape[axis] == real_shape[axis]:
+        if coord_offset is None and shape[axis] == real_shape[axis]:
             continue
         coord = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
-        mi = coord < int(real_shape[axis])
+        if coord_offset is not None:
+            coord = coord + coord_offset[axis]
+            mi = (coord >= 0) & (coord < real_shape[axis])
+        else:
+            mi = coord < int(real_shape[axis])
         m = mi if m is None else (m & mi)
     return m
 
 
-def index_coords(shape, dim, shift, dtype):
+def index_coords(shape, dim, shift, dtype, coord_offset=None):
     nd = len(shape)
     axis = nd - 1 - dim
     size = shape[axis]
     coord = jnp.arange(size, dtype=dtype) + jnp.asarray(shift, dtype)
+    if coord_offset is not None:
+        coord = coord + jnp.asarray(coord_offset[axis], dtype)
     return coord.reshape((1,) * axis + (size,) + (1,) * (nd - axis - 1))
 
 
@@ -307,10 +318,13 @@ class EvalContext:
     """
 
     def __init__(self, domain, shape, images, params, graph_indices, dtype,
-                 real_shape=None, shift_impl=None, graph_banding=None):
+                 real_shape=None, shift_impl=None, graph_banding=None,
+                 coord_offset=None):
         self.domain = domain
         self.shape = shape  # grid spatial shape, or (E,) for graphs
         self.real_shape = real_shape  # real sizes when arrays are padded
+        # per-axis global coordinate of array [0,..] (shard_map halo path)
+        self.coord_offset = coord_offset
         self.shift_impl = shift_impl or shift_read
         self.images = images
         self.params = params
@@ -413,11 +427,13 @@ class EvalContext:
         if isinstance(e, E.BoundsAccess):
             if self.domain != "grid":
                 raise ValueError("InBounds used in a graph residual")
-            return bounds_mask(self.shape, e.mins, e.maxs, self.real_shape)
+            return bounds_mask(self.shape, e.mins, e.maxs, self.real_shape,
+                               self.coord_offset)
         if isinstance(e, E.IndexValue):
             if self.domain != "grid":
                 raise ValueError("Index used in a graph residual")
-            return index_coords(self.shape, e.dim, e.shift_, dtype)
+            return index_coords(self.shape, e.dim, e.shift_, dtype,
+                                self.coord_offset)
         if isinstance(e, E.SampledAccess):
             return self._eval_sampled(e)
         if isinstance(e, E.ComputedAccess):

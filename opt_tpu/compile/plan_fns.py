@@ -37,6 +37,10 @@ class ProblemFunctions:
         # ispace key -> real spatial shape, when the spec's dims are padded
         # for hardware alignment (opt_tpu/ops/vmem_solver.py)
         self.real_shapes = real_shapes or {}
+        # per-axis GLOBAL coordinate of local array [0,..] (possibly
+        # traced), set by the shard_map halo path (parallel/halo.py) so
+        # bounds/Index/real-domain tests use global positions
+        self.coord_offsets = None
         # roll-based shifts for Pallas-kernel execution (Mosaic cannot
         # type jnp.pad's unaligned intermediates)
         self.kernel_safe = kernel_safe
@@ -97,6 +101,7 @@ class ProblemFunctions:
             real_shape=real,
             shift_impl=self._shift,
             graph_banding=data.get("graph_banding"),
+            coord_offset=self.coord_offsets,
         )
 
     def exclude_mask(self, ispace_key, x, data):
@@ -120,6 +125,7 @@ class ProblemFunctions:
             dtype=self.dtype,
             real_shape=self.real_shapes.get(ispace_key),
             shift_impl=self._shift,
+            coord_offset=self.coord_offsets,
         )
         m = None
         for e in exprs:
@@ -129,7 +135,7 @@ class ProblemFunctions:
             m = v if m is None else (m | v)
         real = self.real_shapes.get(ispace_key)
         if real is not None:
-            rm = ev.real_domain_mask(shape, real)
+            rm = ev.real_domain_mask(shape, real, self.coord_offsets)
             if rm is not None:
                 m = (~rm) if m is None else (m | (~rm))
         return m
@@ -169,7 +175,8 @@ class ProblemFunctions:
             ctx = self._ctx(g, x, data)
             fields = [ev.eval_field(e, ctx) for e in g.exprs]
             if g.kind == "centered" and ctx.real_shape is not None:
-                rm = ev.real_domain_mask(ctx.shape, ctx.real_shape)
+                rm = ev.real_domain_mask(ctx.shape, ctx.real_shape,
+                                         self.coord_offsets)
                 if rm is not None:
                     fields = [jnp.where(rm, f, 0.0) for f in fields]
             if g.kind == "graph":
@@ -271,7 +278,8 @@ class ProblemFunctions:
                     # rows centered in the padding do not exist in the
                     # real problem (their InBounds guards test neighbors,
                     # not the center) -- zero them like residual_fields
-                    rm = ev.real_domain_mask(ctx.shape, ctx.real_shape)
+                    rm = ev.real_domain_mask(ctx.shape, ctx.real_shape,
+                                             self.coord_offsets)
                     if rm is not None:
                         fields = [jnp.where(rm, f, 0.0) for f in fields]
                 if self.kernel_safe:

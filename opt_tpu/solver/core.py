@@ -128,6 +128,7 @@ class SolverConfig:
         use_fused_jtj=False,
         use_pallas_pcg=False,
         pcg_variant="classic",
+        psum_axis=None,
     ):
         assert guarded_invert_type in GUARDED_INVERT_TYPES
         assert jacobi_scaling in JACOBI_SCALING_TYPES
@@ -139,6 +140,10 @@ class SolverConfig:
         self.use_pallas_pcg = use_pallas_pcg
         assert pcg_variant in ("classic", "pipelined")
         self.pcg_variant = pcg_variant
+        # mesh axis name for cross-device reductions: set by the explicit
+        # shard_map halo path (parallel/halo.py) so the 5 PCG scalars and
+        # the cost psum over the mesh (everything else stays local)
+        self.psum_axis = psum_axis
 
 
 def make_solver(funcs, config: SolverConfig):
@@ -158,9 +163,16 @@ def make_solver(funcs, config: SolverConfig):
     ginv = functools.partial(
         guarded_invert, kind=config.guarded_invert_type, dtype=dtype
     )
+    if config.psum_axis is not None:
+        ax = config.psum_axis
+        gdot = lambda a, b: jax.lax.psum(tdot(a, b), ax)
+        gsum = lambda v: jax.lax.psum(v, ax)
+    else:
+        gdot = tdot
+        gsum = lambda v: v
 
     def init_fn(x, data, sp):
-        cost0 = funcs.cost(x, data)
+        cost0 = gsum(funcs.cost(x, data))
         state = {
             "x": x,
             "prev_cost": cost0,
@@ -206,8 +218,8 @@ def make_solver(funcs, config: SolverConfig):
 
         def body(c):
             i = c["i"]
-            gamma = tdot(c["r"], c["u"])
-            delta_d = tdot(c["w"], c["u"])
+            gamma = gdot(c["r"], c["u"])
+            delta_d = gdot(c["w"], c["u"])
             m = M(c["w"])
             n = A(m)
             first = i == 0
@@ -267,7 +279,7 @@ def make_solver(funcs, config: SolverConfig):
         q_tol = jnp.asarray(sp["q_tolerance"], dtype)
 
         p0 = masks_apply(tmul(pre, r_init))
-        an0 = tdot(r_init, p0)
+        an0 = gdot(r_init, p0)
         delta0 = tzeros_like(r_init)
         q0 = jnp.asarray(0.0, dtype)  # Q0: delta=0 -> q=0 (:1092-1096)
 
@@ -288,7 +300,7 @@ def make_solver(funcs, config: SolverConfig):
             i = c["i"]
             with jax.named_scope("PCGStep1_applyJTJ"):
                 Ap = A(c["p"])
-            ad = tdot(c["p"], Ap)
+            ad = gdot(c["p"], Ap)
             alpha = _safe_div(c["an"], ad)
             delta = taxpy(alpha, c["p"], c["delta"])
 
@@ -328,14 +340,14 @@ def make_solver(funcs, config: SolverConfig):
                 r = taxpy(-alpha, Ap, c["r"])
 
             z = masks_apply(tmul(pre, r))
-            bn = tdot(z, r)
+            bn = gdot(z, r)
             beta = _safe_div(bn, c["an"])
             p = taxpy(beta, c["p"], z)
 
             brk = c["brk"]
             Q0 = c["Q0"]
             if uses_lambda:
-                q = 0.5 * tdot(delta, tadd(r, b))
+                q = 0.5 * gdot(delta, tadd(r, b))
                 Q1 = q
                 zeta = (i + 1).astype(dtype) * _safe_div(Q1 - Q0, Q1)
                 brk = zeta < q_tol
@@ -444,7 +456,7 @@ def make_solver(funcs, config: SolverConfig):
 
         with scope("linear_update_and_cost"):
             x_new = tadd(x, masks_apply(delta))
-            new_cost = funcs.cost(x_new, data)
+            new_cost = gsum(funcs.cost(x_new, data))
 
         if not uses_lambda:
             return {
@@ -458,7 +470,7 @@ def make_solver(funcs, config: SolverConfig):
             }
 
         # ---- LM trust-region accept / reject (:2247-2292) ----
-        model_cost = funcs.model_cost(r0, jvp_fn, delta, x, data)
+        model_cost = gsum(funcs.model_cost(r0, jvp_fn, delta, x, data))
         model_cost_change = state["prev_cost"] - model_cost
         cost_change = state["prev_cost"] - new_cost
         relative_decrease = _safe_div(cost_change, model_cost_change)
