@@ -1,0 +1,499 @@
+"""Streamed-constant tiled PCG engine: larger-than-VMEM grid solves.
+
+The whole-solve VMEM engine (ops/vmem_solver.py) needs problem + work
+vectors + evaluator temporaries resident at once, capping it around
+192^2-sized grids.  This engine keeps only the PCG STATE VECTORS
+(p / r / delta / Ap) resident in VMEM across iterations inside ONE
+Pallas kernel per outer iteration, and STREAMS the per-iteration
+constants -- the linearization point, the constant images, and the
+scaled preconditioner -- from HBM in row-tile windows with a stencil
+halo.  It is the role of the reference's hand-written per-example CUDA
+solvers at flagship sizes (reference: examples/image_warping/src/,
+examples/poisson_image_editing/src/PatchSolverWarping.cu -- block-
+resident iterations), built on the measured Mosaic capabilities:
+dynamic-start VMEM slices, ANY->VMEM DMA inside lax.fori, and
+fori-inside-while nesting.
+
+Math: PCG runs in the symmetrically Jacobi-preconditioned space
+x_hat = D^-1/2 x with D = diag(JtJ) guarded-inverted, so
+
+    A_hat = D^1/2 (JtJ) D^1/2,   M_hat = I,   z == r
+
+and the preconditioner disappears from the inner sweeps (no extra
+resident planes, no extra HBM reads).  Excluded unknowns get
+sqrt_pre = 0, which zeroes their rows/columns of A_hat and their
+residuals/updates -- exactly the unknown-side masking of the fused
+solver.  Algebraically this is the same PCG as solver/core.py; float
+rounding differs (scaled recurrences), which GN's outer correction
+absorbs (tests pin cost agreement at rtol 1e-4).
+
+Per PCG iteration, one in-kernel tile sweep recomputes the matrix-free
+JtJp on each (tile + 2*radius)-row window via the SAME traced evaluator
+(jax.linearize + transpose, kernel_safe mode) the fused path uses --
+like the reference's PCGStep1, the per-pixel partials are recomputed
+from the streamed linearization point each apply.  Bounds / Index /
+real-domain tests evaluate at global coordinates through
+ProblemFunctions.coord_offsets (the window's traced row offset).
+
+Per-iteration HBM traffic = (unknown + const + sqrt_pre channels) x
+(tile+2h)/tile plane reads; everything else stays in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compile.plan_fns import ProblemFunctions
+from ..compile import evaluate as ev
+from ..dsl import expr as E
+from ..dsl.env import EnergyEnv
+from ..dsl.spec import ProblemSpec
+from ..solver.core import guarded_invert, tmap
+
+LANE = 128
+SUBLANE = 8
+
+
+def _stencil_radius_axis0(spec):
+    """Max |offset| along array axis 0 (= last declared dim)."""
+    radius = 0
+    nd = None
+    for im in spec.images.values():
+        nd = im.ispace.ndims
+        break
+
+    def on_node(a):
+        nonlocal radius
+        if isinstance(a, E.ImageAccess) and isinstance(a.index, E.Offset):
+            off = a.index.data
+            radius = max(radius, abs(int(off[nd - 1])))
+        elif isinstance(a, E.ComputedAccess):
+            E.visit(a.expanded(), on_node)
+
+    for exp in list(spec.terms) + list(spec.excludes):
+        E.visit(exp, on_node)
+    return radius
+
+
+def supports(plan, tile=32):
+    """Eligibility: GN, one 2-D grid ispace, f32, aligned sizes."""
+    if plan.config.uses_lambda:
+        return False
+    if plan.funcs.dtype != jnp.float32:
+        return False
+    if plan.spec.graphs:
+        return False
+    keys = {im.ispace.key() for im in plan.spec.images.values()}
+    if len(keys) != 1:
+        return False
+    for g in plan.funcs.groups:
+        if g.kind != "centered" or g.ispace.ndims != 2:
+            return False
+    has_sampled = [False]
+
+    def _chk(a):
+        if isinstance(a, E.SampledAccess):
+            has_sampled[0] = True
+
+    for exp in plan.spec.terms:
+        E.visit(exp, _chk)
+    if has_sampled[0]:
+        return False
+    shape = next(iter(plan.spec.images.values())).ispace.shape
+    H, W = shape
+    if W % LANE or H % tile:
+        return False
+    r = _stencil_radius_axis0(plan.spec)
+    h = _roundup(max(2 * r, 1), SUBLANE)
+    if h > tile:
+        return False
+    return _estimate_vmem(plan, tile, h, H, W) <= VMEM_BUDGET_BYTES
+
+
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+TEMP_PLANES_FACTOR = 4
+
+
+def _roundup(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _estimate_vmem(plan, tile, h, H, W):
+    """Resident state + windows + a temp model (factor per residual
+    channel on the window shape, as calibrated for the VMEM engine)."""
+    funcs = plan.funcs
+    nU = sum(s[-1] for s in funcs.unknown_shapes.values())
+    nC = sum(
+        im.channels for n, im in plan.spec.images.items()
+        if not im.is_unknown and n not in funcs.aliases
+    )
+    win_rows = tile + 2 * h
+    state = nU * ((H + 2 * h) + 3 * H) * W * 4          # p, r, Ap, delta
+    windows = (nU * 2 + nC) * win_rows * W * 4           # x, sqp, consts
+    n_res = sum(
+        len(g.exprs) for g in funcs.groups if g.kind == "centered"
+    )
+    temps = TEMP_PLANES_FACTOR * n_res * win_rows * W * 4
+    return state + windows + temps
+
+
+class StreamSolver:
+    """Full GN solve with the tiled streamed-constant PCG kernel."""
+
+    def __init__(self, plan, tile=32):
+        assert supports(plan, tile), "plan not eligible for StreamSolver"
+        self.plan = plan
+        self.tile = tile
+        funcs = plan.funcs
+        shape = next(iter(plan.spec.images.values())).ispace.shape
+        self.H, self.W = shape
+        self.radius = _stencil_radius_axis0(plan.spec)
+        # sublane-aligned halo: every dynamic VMEM slice start must be a
+        # provable multiple of 8 (Mosaic), so tiles and halos are 8-aligned
+        self.h = _roundup(max(2 * self.radius, 1), SUBLANE)
+        self.n_tiles = self.H // tile
+
+        # tile-window ProblemFunctions (kernel_safe channel planes)
+        dims_ext = list(plan.dims)
+        dims_ext[-1] = tile + 2 * self.h
+        spec_t = ProblemSpec()
+        env = EnergyEnv(spec_t, dims_ext)
+        from ..runtime.api import _run_energy
+
+        _run_energy(plan.problem.energy, env)
+        real_shapes = {
+            im.ispace.key(): im.ispace.shape
+            for im in plan.spec.images.values()
+        }
+        self.tfuncs = ProblemFunctions(
+            spec_t, funcs.dtype, real_shapes=real_shapes, kernel_safe=True
+        )
+
+        self.unknown_names = sorted(funcs.unknown_shapes)
+        self.const_names = sorted(
+            n for n, im in plan.spec.images.items()
+            if not im.is_unknown and n not in funcs.aliases
+        )
+        self.param_names = sorted(plan.spec.params)
+        self.chans = {
+            n: plan.spec.images[n].channels
+            for n in self.unknown_names + self.const_names
+        }
+        self._kern_cache = {}
+
+    # -- kernel -----------------------------------------------------------------
+
+    def _build_kernel(self, n_lin, interpret):
+        T, h, H, W = self.tile, self.h, self.H, self.W
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        tf = self.tfuncs
+        n_tiles = self.n_tiles
+        nU = sum(chans[n] for n in un)  # unknown channel planes
+
+        def kernel(*refs):
+            i = 0
+            x_any = {}
+            for n in un:
+                x_any[n] = [refs[i + k] for k in range(chans[n])]
+                i += chans[n]
+            c_any = {}
+            for n in cn:
+                c_any[n] = [refs[i + k] for k in range(chans[n])]
+                i += chans[n]
+            sqp_any = [refs[i + k] for k in range(nU)]
+            i += nU
+            r0_any = [refs[i + k] for k in range(nU)]
+            i += nU
+            pref = refs[i]; i += 1  # SMEM params
+            outs = refs[i : i + nU]; i += nU
+            # scratch
+            p_buf = refs[i : i + nU]; i += nU          # (H+2h, W)
+            r_buf = refs[i : i + nU]; i += nU          # (H, W)
+            ap_buf = refs[i : i + nU]; i += nU         # (H, W)
+            xw = {}
+            for n in un:
+                xw[n] = refs[i : i + chans[n]]; i += chans[n]
+            cw = {}
+            for n in cn:
+                cw[n] = refs[i : i + chans[n]]; i += chans[n]
+            sqw = refs[i : i + nU]; i += nU            # (T+2h, W)
+            sem = refs[i]; i += 1
+
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+
+            def dma_start(src, dst, start, rows):
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(start, rows)], dst, sem
+                )
+                cp.start()
+                return cp
+
+            # ---- init: r = r0_hat, p = [0-pad | r0_hat | 0-pad] ----------
+            for k in range(nU):
+                p_buf[k][...] = jnp.zeros((H + 2 * h, W), jnp.float32)
+            an0 = jnp.float32(0.0)
+
+            # staging buffer sqw is (T+2h, W); DMA T rows into its head
+            def init_tile2(t, an):
+                t0 = t * T
+                for k in range(nU):
+                    cp = pltpu.make_async_copy(
+                        r0_any[k].at[pl.ds(t0, T)],
+                        sqw[k].at[pl.ds(0, T)], sem,
+                    )
+                    cp.start()
+                    cp.wait()
+                    v = sqw[k][0:T]
+                    r_buf[k][pl.ds(t0, T)] = v
+                    p_buf[k][pl.ds(t0 + h, T)] = v
+                    an = an + jnp.sum(v * v)
+                return an
+
+            an0 = jax.lax.fori_loop(0, n_tiles, init_tile2, an0)
+            for k in range(nU):
+                outs[k][...] = jnp.zeros((H, W), jnp.float32)
+
+            # ---- PCG loop -------------------------------------------------
+            def sweep1(t, pap):
+                t0 = t * T
+                # issue every window DMA for this tile, then wait once --
+                # serialized start/wait pairs were latency-bound
+                cps = []
+                for n in un:
+                    for c, ref in enumerate(x_any[n]):
+                        cps.append(dma_start(ref, xw[n][c], t0, T + 2 * h))
+                for n in cn:
+                    for c, ref in enumerate(c_any[n]):
+                        cps.append(dma_start(ref, cw[n][c], t0, T + 2 * h))
+                for k in range(nU):
+                    cps.append(dma_start(sqp_any[k], sqw[k], t0, T + 2 * h))
+                for cp in cps:
+                    cp.wait()
+
+                x_win = {
+                    n: [xw[n][c][...] for c in range(chans[n])] for n in un
+                }
+                data_win = {
+                    "images": {
+                        n: [cw[n][c][...] for c in range(chans[n])]
+                        for n in cn
+                    },
+                    "params": params,
+                    "graph_indices": {},
+                }
+                sq_win = [sqw[k][...] for k in range(nU)]
+
+                # scaled direction: D^1/2 p_hat on the window
+                k = 0
+                p_sc = {}
+                for n in un:
+                    pw = []
+                    for c in range(chans[n]):
+                        pw.append(
+                            sq_win[k] * p_buf[k][pl.ds(t0, T + 2 * h)]
+                        )
+                        k += 1
+                    p_sc[n] = pw
+
+                tf.coord_offsets = (t0 - h, 0)
+                fn = lambda xx: tf.residuals_solve(xx, data_win)
+                _, jvp_fn = jax.linearize(fn, x_win)
+                jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                (grad,) = jt_fn(jvp_fn(p_sc))
+
+                k = 0
+                for n in un:
+                    for c in range(chans[n]):
+                        ap = (
+                            sq_win[k][h : h + T]
+                            * grad[n][c][h : h + T]
+                        )
+                        ap_buf[k][pl.ds(t0, T)] = ap
+                        pap = pap + jnp.sum(
+                            ap * p_buf[k][pl.ds(t0 + h, T)]
+                        )
+                        k += 1
+                return pap
+
+            def body(carry):
+                it, an = carry
+                pap = jax.lax.fori_loop(0, n_tiles, sweep1, jnp.float32(0.0))
+                alpha = jnp.where(pap != 0.0, an / jnp.where(
+                    pap != 0.0, pap, 1.0), 0.0)
+
+                def upd(t, bn):
+                    t0 = t * T
+                    for k in range(nU):
+                        pv = p_buf[k][pl.ds(t0 + h, T)]
+                        outs[k][pl.ds(t0, T)] = (
+                            outs[k][pl.ds(t0, T)] + alpha * pv
+                        )
+                        rv = (
+                            r_buf[k][pl.ds(t0, T)]
+                            - alpha * ap_buf[k][pl.ds(t0, T)]
+                        )
+                        r_buf[k][pl.ds(t0, T)] = rv
+                        bn = bn + jnp.sum(rv * rv)
+                    return bn
+
+                bn = jax.lax.fori_loop(0, n_tiles, upd, jnp.float32(0.0))
+                beta = jnp.where(an != 0.0, bn / jnp.where(
+                    an != 0.0, an, 1.0), 0.0)
+
+                def upd_p(t, _):
+                    t0 = t * T
+                    for k in range(nU):
+                        p_buf[k][pl.ds(t0 + h, T)] = (
+                            r_buf[k][pl.ds(t0, T)]
+                            + beta * p_buf[k][pl.ds(t0 + h, T)]
+                        )
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, upd_p, 0)
+                return it + 1, bn
+
+            jax.lax.while_loop(
+                lambda c: c[0] < n_lin, body, (jnp.int32(0), an0)
+            )
+
+        # ---- pallas_call wiring ------------------------------------------
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        n_any = (
+            sum(chans[n] for n in un)
+            + sum(chans[n] for n in cn)
+            + 2 * nU
+        )
+        scratch = (
+            [pltpu.VMEM((H + 2 * h, W), jnp.float32)] * nU      # p
+            + [pltpu.VMEM((H, W), jnp.float32)] * nU            # r
+            + [pltpu.VMEM((H, W), jnp.float32)] * nU            # Ap
+            + [pltpu.VMEM((T + 2 * h, W), jnp.float32)]
+            * sum(chans[n] for n in un)                          # x windows
+            + [pltpu.VMEM((T + 2 * h, W), jnp.float32)]
+            * sum(chans[n] for n in cn)                          # c windows
+            + [pltpu.VMEM((T + 2 * h, W), jnp.float32)] * nU    # sqp windows
+            + [pltpu.SemaphoreType.DMA]
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec] * n_any + [sspec],
+            out_specs=tuple([vspec] * nU),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((H, W), jnp.float32)] * nU
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+
+    # -- whole solve -------------------------------------------------------------
+
+    def _whole_solve(self, n_outer, n_lin, interpret):
+        plan = self.plan
+        funcs = plan.funcs
+        un, cn = self.unknown_names, self.const_names
+        chans = self.chans
+        h, H, W = self.h, self.H, self.W
+        kern = self._build_kernel(n_lin, interpret)
+        ginv = functools.partial(
+            guarded_invert, kind=plan.config.guarded_invert_type,
+            dtype=funcs.dtype,
+        )
+
+        def pad_plane(a):
+            return jnp.pad(a, ((h, h), (0, 0)))
+
+        def planes(arr):
+            return [arr[..., c] for c in range(arr.shape[-1])]
+
+        def outer_step(x, data, pvals):
+            masks = funcs.unknown_masks(x, data)
+            r0, jvp_fn, jt_fn = funcs.linearize(x, data)
+            neg_jtf = tmap(lambda v: -v, funcs.jtf(r0, jt_fn))
+            diag = funcs.diag_jtj(x, data)
+            if funcs.use_preconditioner:
+                pre = tmap(ginv, diag)
+            else:
+                pre = tmap(jnp.ones_like, diag)
+            # sqrt-scaled preconditioner; excluded unknowns -> 0, which
+            # zeroes their rows/cols of A_hat and all their updates
+            sq = {}
+            for n in un:
+                s = jnp.sqrt(pre[n])
+                m = masks[n]
+                if m is not None:
+                    s = jnp.where(m, 0.0, s)
+                sq[n] = s
+            r0_hat = {
+                n: sq[n] * neg_jtf[n] for n in un
+            }
+
+            args = []
+            for n in un:
+                args += [pad_plane(p) for p in planes(x[n])]
+            for n in cn:
+                args += [pad_plane(p) for p in planes(data["images"][n])]
+            for n in un:
+                args += [pad_plane(p) for p in planes(sq[n])]
+            for n in un:
+                args += planes(r0_hat[n])
+            args.append(pvals)
+            outs = kern(*args)
+
+            k = 0
+            x_new = {}
+            for n in un:
+                c = chans[n]
+                d_hat = jnp.stack(outs[k : k + c], axis=-1)
+                k += c
+                x_new[n] = x[n] + sq[n] * d_hat
+            new_cost = funcs.cost(x_new, data)
+            return x_new, new_cost
+
+        def whole(x, data, pvals):
+            cost0 = funcs.cost(x, data)
+
+            def body(i, carry):
+                x, _ = carry
+                return outer_step(x, data, pvals)
+
+            x_fin, cost = jax.lax.fori_loop(
+                0, n_outer, body, (x, cost0)
+            )
+            return x_fin, cost
+
+        return whole
+
+    def solve(self, inputs, interpret=None):
+        plan = self.plan
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        x, data = plan.bind(inputs)
+        n_outer = int(plan.solver_params["nIterations"])
+        n_lin = int(plan.solver_params["lIterations"])
+        key = (n_outer, n_lin, interpret)
+        if key not in self._kern_cache:
+            self._kern_cache[key] = jax.jit(
+                self._whole_solve(n_outer, n_lin, interpret)
+            )
+        fn = self._kern_cache[key]
+
+        def host_param(n):
+            v = inputs.get(n, data["params"].get(n))
+            return float(v)
+
+        pvals = jnp.asarray(
+            [[host_param(n)] for n in self.param_names] or [[0.0]],
+            jnp.float32,
+        )
+        x_new, cost = fn(x, data, pvals)
+        return {"x": x_new, "final_cost": float(cost)}

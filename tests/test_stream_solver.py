@@ -1,0 +1,99 @@
+"""Streamed-constant tiled PCG engine (ops/stream_solver.py): parity with
+the fused XLA solver in interpret mode (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import opt_tpu
+from opt_tpu import energies
+from opt_tpu.ops import stream_solver as ssv
+
+
+def _warp_inputs(W, H, seed=0):
+    rng = np.random.RandomState(seed)
+    ur = rng.randn(H, W, 2).astype(np.float32)
+    cons = np.full((H, W, 2), -1.0, np.float32)
+    cons[::10, :] = np.abs(rng.randn(H, W, 2).astype(np.float32))[::10, :]
+    return {
+        "Offset": np.zeros((H, W, 2), np.float32),
+        "Angle": np.zeros((H, W, 1), np.float32),
+        "UrShape": ur,
+        "Constraints": cons,
+        "Mask": np.zeros((H, W, 1), np.float32),
+        "w_fitSqrt": np.sqrt(0.5),
+        "w_regSqrt": np.sqrt(2.0),
+    }
+
+
+def _poisson_inputs(W, H, seed=1):
+    rng = np.random.RandomState(seed)
+    mask = np.ones((H, W, 1), np.float32)
+    mask[H // 4: -H // 4, W // 4: -W // 4] = 0
+    return {
+        "X": rng.rand(H, W, 4).astype(np.float32),
+        "T": rng.rand(H, W, 4).astype(np.float32),
+        "M": mask,
+    }
+
+
+def _xla_cost(plan, inputs, n_outer):
+    x, data = plan.bind(inputs)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
+    st = plan._full_solve_fn(x, data, sp)
+    return float(st["prev_cost"]), st["x"]
+
+
+@pytest.mark.parametrize(
+    "energy,inputs_fn",
+    [
+        (energies.image_warping, _warp_inputs),
+        # poisson exercises Exclude() (masking folds into sqrt_pre = 0)
+        # and UsePreconditioner(False)
+        (energies.poisson_image_editing, _poisson_inputs),
+    ],
+    ids=["image_warping", "poisson_exclude"],
+)
+def test_stream_matches_xla(energy, inputs_fn):
+    W, H = 128, 64
+    inputs = inputs_fn(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energy, "gaussNewtonGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 15)
+    assert ssv.supports(plan)
+    ref_cost, x_ref = _xla_cost(plan, inputs, 3)
+    out = ssv.StreamSolver(plan).solve(inputs)
+    # scaled-space PCG reorders float ops; GN absorbs it
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+    for n in x_ref:
+        np.testing.assert_allclose(
+            np.asarray(out["x"][n]), np.asarray(x_ref[n]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_supports_rejects():
+    state = opt_tpu.NewState()
+    # LM rejected
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"), [128, 64])
+    assert not ssv.supports(plan)
+    # graph energies rejected
+    plan = state.problem_plan(
+        state.problem_define(energies.arap_mesh_deformation,
+                             "gaussNewtonGPU"), [64, 128])
+    assert not ssv.supports(plan)
+    # unaligned width rejected
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [100, 64])
+    assert not ssv.supports(plan)
+    # over-VMEM sizes rejected (512^2: resident state + temps > budget)
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [512, 512])
+    assert not ssv.supports(plan)
