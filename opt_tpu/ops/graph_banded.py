@@ -2,8 +2,8 @@
 
 TPU XLA row-gathers and segment-sum scatters cost ~250 us each at 60k
 rows (~4 ns/row) -- they serialize on the sparse-index path and dominate
-graph-domain solves (arap ~1.36 ms per PCG iteration, docs/ROUND2_TODO.md
-item 2).  This module replaces them with dense block matmuls the MXU
+graph-domain solves (arap ~1.36 ms per PCG iteration in round 1;
+see docs/ROUND3_TODO.md).  This module replaces them with dense block matmuls the MXU
 executes at full rate, playing the role of the reference's hand-written
 atomic scatter kernels (reference: API/src/backend_cuda.t:366-445 and
 examples/arap_mesh_deformation/src/WarpingSolver.cu).

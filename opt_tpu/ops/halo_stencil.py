@@ -1,7 +1,7 @@
 """Row-tiled stencil apply with manual halo DMA.
 
 Prototype of the round-2 tiled solver's core mechanism
-(docs/ROUND2_TODO.md #1): images stay in HBM (`pl.ANY`); each grid step
+(now in docs/ROUND3_TODO.md): images stay in HBM (`pl.ANY`); each grid step
 DMAs a (TILE + 2*HALO)-row window into VMEM scratch, computes a weighted
 stencil sum with Mosaic-native shifts, and writes its tile.  This is what
 lets larger-than-VMEM problems run Pallas iterations with VMEM-resident
