@@ -319,7 +319,7 @@ class EvalContext:
 
     def __init__(self, domain, shape, images, params, graph_indices, dtype,
                  real_shape=None, shift_impl=None, graph_banding=None,
-                 coord_offset=None):
+                 coord_offset=None, unknown_names=None):
         self.domain = domain
         self.shape = shape  # grid spatial shape, or (E,) for graphs
         self.real_shape = real_shape  # real sizes when arrays are padded
@@ -333,6 +333,10 @@ class EvalContext:
         # when set for a graph, slot gathers run as MXU one-hot matmuls
         # over the padded (n_vblk*eb,) edge layout
         self.graph_banding = graph_banding or {}
+        # names of unknown images: slot gathers keep unknowns in their own
+        # block so the tangent/transpose gathers under jax.linearize touch
+        # only unknown channels (see _slot_gather)
+        self.unknown_names = frozenset(unknown_names or ())
         self.dtype = dtype
         self.memo = {}
         # optional override table: leaf key -> array, used by the structural
@@ -351,35 +355,55 @@ class EvalContext:
         self._slot_cache = {}
 
     def _slot_gather(self, gname, slot, n_verts):
-        key = (gname, slot, n_verts)
+        """name -> (per-slot gathered rows, column offset) for one graph.
+
+        Vertex arrays concatenate into TWO blocks -- unknowns and
+        constants -- gathered separately.  Per (image, channel) reads are
+        cheap slices of a gathered block.  The split matters under
+        jax.linearize: with one mixed block the tangent/transpose gathers
+        inside the PCG loop carry materialized zero channels for every
+        constant (2x MXU/gather work); split, the constant block has no
+        tangent at all.
+
+        Banded mode gathers ALL slots eagerly in one stacked one-hot dot
+        (ops/graph_banded.slots_gather) -- its transpose is likewise one
+        stacked scatter dot; take mode stays lazy per slot."""
+        band = self.graph_banding.get(gname)
+        key = (gname, n_verts) if band is not None else (
+            gname, slot, n_verts
+        )
         hit = self._slot_cache.get(key)
         if hit is not None:
-            return hit
-        vidx = self.graph_indices[gname][slot]
-        # concatenate every vertex array on this slot's vertex space; per
-        # (image, channel) reads are cheap slices of the gathered block
-        parts = []
-        offsets = {}
-        off = 0
+            return {n: (rows[slot], off) for n, (rows, off) in hit.items()}
+        blocks = {}  # is_unknown -> (parts list, name -> column offset)
         for n in sorted(self.images):
             arr = self.images[n]
             if arr.ndim != 2 or arr.shape[0] != n_verts:
                 continue
-            offsets[n] = off
+            parts, offsets = blocks.setdefault(
+                n in self.unknown_names, ([], {})
+            )
+            offsets[n] = sum(p.shape[-1] for p in parts)
             parts.append(arr)
-            off += arr.shape[-1]
-        big = (
-            jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
-        )
-        band = self.graph_banding.get(gname)
-        if band is not None:
-            from ..ops.graph_banded import banded_gather
+        out = {}
+        for parts, offsets in blocks.values():
+            big = (
+                jnp.concatenate(parts, axis=-1) if len(parts) > 1
+                else parts[0]
+            )
+            if band is not None:
+                from ..ops.graph_banded import slots_gather
 
-            gathered = banded_gather(band.loc[slot], big, **band.meta())
-        else:
-            gathered = jnp.take(big, vidx, axis=0)
-        self._slot_cache[key] = (gathered, offsets)
-        return gathered, offsets
+                rows = slots_gather(
+                    band, list(self.graph_indices[gname]), big
+                )
+            else:
+                vidx = self.graph_indices[gname][slot]
+                rows = {slot: jnp.take(big, vidx, axis=0)}
+            for n, off in offsets.items():
+                out[n] = (rows, off)
+        self._slot_cache[key] = out
+        return {n: (rows[slot], off) for n, (rows, off) in out.items()}
 
     # -- leaf reads --
 
@@ -398,12 +422,11 @@ class EvalContext:
         idx = access.index
         if isinstance(idx, E.Offset):
             return self.shift_impl(chan, idx.data)
-        # graph gather: one batched take per slot, then slice the channel
-        gathered, offsets = self._slot_gather(
+        # graph gather: one batched take per slot block, then slice
+        gathered, off = self._slot_gather(
             idx.graph.name, idx.slot, img.shape[0]
-        )
-        col = offsets[access.image.name] + access.channel
-        return gathered[:, col]
+        )[access.image.name]
+        return gathered[:, off + access.channel]
 
     def eval(self, e):
         # memo entries hold the expression object itself: id() keys are

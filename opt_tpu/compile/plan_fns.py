@@ -102,6 +102,7 @@ class ProblemFunctions:
             shift_impl=self._shift,
             graph_banding=data.get("graph_banding"),
             coord_offset=self.coord_offsets,
+            unknown_names=self.unknowns,
         )
 
     def exclude_mask(self, ispace_key, x, data):
@@ -282,6 +283,14 @@ class ProblemFunctions:
                                              self.coord_offsets)
                     if rm is not None:
                         fields = [jnp.where(rm, f, 0.0) for f in fields]
+                if g.kind == "graph":
+                    # banded-layout pad rows are not real residuals; their
+                    # partials must be zero BEFORE the diag scatter (the
+                    # ELL row-sum scatter has no structural pad drop)
+                    band = ctx.graph_banding.get(g.graph.name)
+                    if band is not None:
+                        pm = band.pad_mask
+                        fields = [jnp.where(pm, f, 0.0) for f in fields]
                 if self.kernel_safe:
                     return fields
                 return jnp.stack(fields)
@@ -309,6 +318,11 @@ class ProblemFunctions:
             for n, s in self.unknown_shapes.items()
         }
         gidx = data.get("graph_indices", {})
+        # graph-side squared partials are batched per (graph, slot): all
+        # leaf channels sharing a vertex slot stack into one (E, K) column
+        # block scattered in ONE banded_scatter / segment_sum, instead of
+        # K separate C=1 scatters (docs/ROUND3_TODO.md #1)
+        pending = {}  # (gname, slot) -> list of (img_name, channel, d2)
         for g, leaves, D in self.leaf_partials(x, data):
             for a, d in zip(leaves, D):
                 if isinstance(d, (list, tuple)):
@@ -318,26 +332,29 @@ class ProblemFunctions:
                 img = a.image
                 if isinstance(a.index, E.Offset):
                     contrib = self._scatter(d2, a.index.data)
-                else:
-                    band = (data.get("graph_banding") or {}).get(
-                        a.index.graph.name
+                    acc[img.name][a.channel] = (
+                        acc[img.name][a.channel] + contrib
                     )
-                    if band is not None:
-                        from ..ops.graph_banded import banded_scatter
+                else:
+                    key = (a.index.graph.name, a.index.slot)
+                    pending.setdefault(key, []).append(
+                        (img.name, a.channel, d2)
+                    )
+        for (gname, slot), items in pending.items():
+            stacked = jnp.stack([d2 for _, _, d2 in items], axis=-1)
+            band = (data.get("graph_banding") or {}).get(gname)
+            if band is not None:
+                from ..ops.graph_banded import slot_scatter
 
-                        contrib = banded_scatter(
-                            band.loc[a.index.slot], d2[:, None],
-                            **band.meta(),
-                        )[:, 0]
-                    else:
-                        vidx = gidx[a.index.graph.name][a.index.slot]
-                        contrib = jax.ops.segment_sum(
-                            d2, vidx,
-                            num_segments=self.unknown_shapes[img.name][0],
-                        )
-                acc[img.name][a.channel] = (
-                    acc[img.name][a.channel] + contrib
+                out = slot_scatter(band, slot, stacked)
+            else:
+                vidx = gidx[gname][slot]
+                n_verts = self.unknown_shapes[items[0][0]][0]
+                out = jax.ops.segment_sum(
+                    stacked, vidx, num_segments=n_verts
                 )
+            for k, (img_name, chan, _) in enumerate(items):
+                acc[img_name][chan] = acc[img_name][chan] + out[:, k]
         if self.kernel_safe:
             return {n: list(chans) for n, chans in acc.items()}
         return {

@@ -457,6 +457,9 @@ class Plan:
                     n_vblk=gplan.n_vblk,
                     eb=gplan.eb,
                     n_verts=vb.n_verts,
+                    layout=gplan.layout,
+                    primary_slot=gplan.primary_slot,
+                    deg=gplan.deg,
                 )
         return banding, graph_banding
 

@@ -111,6 +111,137 @@ def test_planning_rejects_unbandable():
 
 
 # ---------------------------------------------------------------------------
+# layout variants: ELL primary slot, stacked slots_gather, forced layouts
+# ---------------------------------------------------------------------------
+
+
+def _plan_layout(layout, monkeypatch, **kw):
+    monkeypatch.setenv("OPT_TPU_GRAPH_LAYOUT", layout)
+    slots, n = _mesh_graph(**kw)
+    vb = gb.plan_vertex_banding({"G": slots}, n, force=True)
+    return vb, slots, n
+
+
+@pytest.mark.parametrize("layout", ["balanced", "ell"])
+def test_forced_layout_gather_exact(layout, monkeypatch):
+    vb, slots, n = _plan_layout(layout, monkeypatch)
+    g = vb.graphs["G"]
+    assert g.layout == layout
+    band = gb.DeviceBanding(
+        {s: jnp.asarray(lc) for s, lc in g.loc.items()},
+        jnp.asarray(g.pad_mask), g.vb, g.n_vblk, g.eb, n,
+        layout=g.layout, primary_slot=g.primary_slot, deg=g.deg,
+    )
+    p = np.random.RandomState(11).randn(n, 4).astype(np.float32)
+    p_perm = jnp.asarray(p[vb.perm])
+    for sname in ("v0", "v1"):
+        got = np.asarray(
+            jax.jit(lambda v: gb.slot_gather(band, sname, v))(p_perm)
+        )
+        np.testing.assert_array_equal(
+            got[g.edge_perm], p[slots[sname]]
+        )
+        if not (layout == "ell" and sname == g.primary_slot):
+            # one-hot paths zero pad rows; ELL primary broadcasts values
+            assert np.all(got[~g.pad_mask] == 0)
+
+
+@pytest.mark.parametrize("layout", ["balanced", "ell"])
+def test_slots_gather_matches_per_slot(layout, monkeypatch):
+    """The stacked all-slots gather equals per-slot gathers."""
+    vb, slots, n = _plan_layout(layout, monkeypatch, seed=9)
+    g = vb.graphs["G"]
+    band = gb.DeviceBanding(
+        {s: jnp.asarray(lc) for s, lc in g.loc.items()},
+        jnp.asarray(g.pad_mask), g.vb, g.n_vblk, g.eb, n,
+        layout=g.layout, primary_slot=g.primary_slot, deg=g.deg,
+    )
+    p = jnp.asarray(
+        np.random.RandomState(12).randn(n, 3).astype(np.float32))
+    rows = jax.jit(
+        lambda v: gb.slots_gather(band, ["v0", "v1"], v))(p)
+    for sname in ("v0", "v1"):
+        want = jax.jit(lambda v: gb.slot_gather(band, sname, v))(p)
+        np.testing.assert_array_equal(
+            np.asarray(rows[sname]), np.asarray(want))
+
+
+@pytest.mark.parametrize("layout", ["balanced", "ell"])
+def test_slot_scatter_matches_segment_sum(layout, monkeypatch):
+    vb, slots, n = _plan_layout(layout, monkeypatch, seed=13)
+    g = vb.graphs["G"]
+    band = gb.DeviceBanding(
+        {s: jnp.asarray(lc) for s, lc in g.loc.items()},
+        jnp.asarray(g.pad_mask), g.vb, g.n_vblk, g.eb, n,
+        layout=g.layout, primary_slot=g.primary_slot, deg=g.deg,
+    )
+    e = np.zeros((g.ep, 2), np.float32)
+    rng = np.random.RandomState(14)
+    e[g.pad_mask] = rng.randn(int(g.pad_mask.sum()), 2)
+    for sname in ("v0", "v1"):
+        got = np.asarray(
+            jax.jit(lambda v: gb.slot_scatter(band, sname, v))(
+                jnp.asarray(e))
+        )
+        want = np.zeros((n, 2), np.float64)
+        np.add.at(want, vb.inv_perm[slots[sname]],
+                  e[g.edge_perm].astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_transpose_pairing(monkeypatch):
+    """linear_transpose of ell_gather is ell_scatter."""
+    vb, slots, n = _plan_layout("ell", monkeypatch, seed=15)
+    g = vb.graphs["G"]
+    meta = dict(vb=g.vb, n_vblk=g.n_vblk, deg=g.deg, n_verts=n)
+
+    def fn(v):
+        return gb.ell_gather(v, **meta) * 3.0
+
+    v0 = jnp.zeros((n, 2), jnp.float32)
+    _, jvp = jax.linearize(fn, v0)
+    jt = jax.linear_transpose(jvp, v0)
+    ct = jnp.asarray(
+        np.random.RandomState(16).randn(g.ep, 2).astype(np.float32))
+    (got,) = jt(ct)
+    want = 3.0 * gb.ell_scatter(ct, **meta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_onehot_pallas_interpret(banding):
+    """Pallas one-hot kernels (interpret mode) match the XLA path."""
+    from opt_tpu.ops import onehot_pallas as op
+
+    vb, slots, n = banding
+    g = vb.graphs["G"]
+    rng = np.random.RandomState(17)
+    c = 2
+    vals = rng.randn(n, c).astype(np.float32)
+    pb = jnp.pad(jnp.asarray(vals), ((0, g.n_vblk * g.vb - n), (0, 0)))
+    ws = gb._split3(gb._windows(pb.reshape(g.n_vblk, g.vb, c)))
+    loc = jnp.asarray(g.loc["v1"])
+    got = gb._recomb(
+        np.asarray(op.onehot_gather_blocks(loc, ws, interpret=True)), c
+    ).reshape(g.ep, c)
+    want = gb._gather_impl(loc, jnp.asarray(vals), **_meta(g, n))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    e = rng.randn(g.n_vblk, g.eb, c).astype(np.float32)
+    es = gb._split3(jnp.asarray(e))
+    w = gb._recomb(np.asarray(
+        op.onehot_scatter_windows(loc, es, 3 * g.vb, interpret=True)), c)
+    # reference: dense one-hot contraction per block
+    want_w = np.zeros((g.n_vblk, 3 * g.vb, c), np.float32)
+    locn = np.asarray(g.loc["v1"])
+    for b in range(g.n_vblk):
+        for r in range(g.eb):
+            if locn[b, r] >= 0:
+                want_w[b, locn[b, r]] += e[b, r]
+    np.testing.assert_allclose(np.asarray(w), want_w, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # end-to-end: banded engine inside a full solve
 # ---------------------------------------------------------------------------
 
@@ -132,11 +263,16 @@ def _arap_inputs(n, slots, seed=5):
     }
 
 
-@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
-def test_arap_banded_matches_take(kind):
+@pytest.mark.parametrize("kind,layout", [
+    ("gaussNewtonGPU", "ell"),
+    ("LMGPU", "ell"),
+    ("gaussNewtonGPU", "balanced"),
+])
+def test_arap_banded_matches_take(kind, layout, monkeypatch):
     import opt_tpu
     from opt_tpu import energies
 
+    monkeypatch.setenv("OPT_TPU_GRAPH_LAYOUT", layout)
     slots, n = _mesh_graph(seed=7, n=300, deg=6, band=29)
     e = len(slots["v0"])
     inputs = _arap_inputs(n, slots)
