@@ -422,11 +422,15 @@ class EvalContext:
         idx = access.index
         if isinstance(idx, E.Offset):
             return self.shift_impl(chan, idx.data)
-        # graph gather: one batched take per slot block, then slice
+        # graph gather: one batched take per slot block, then slice the
+        # channel.  Banded rows are BLOCKED (n_vblk, eb, C) -- the whole
+        # graph residual evaluation runs in that 2-D tiling (matching
+        # ctx.shape) so no flat<->blocked relayouts occur; take-mode rows
+        # are flat (E, C).
         gathered, off = self._slot_gather(
             idx.graph.name, idx.slot, img.shape[0]
         )[access.image.name]
-        return gathered[:, off + access.channel]
+        return gathered[..., off + access.channel]
 
     def eval(self, e):
         # memo entries hold the expression object itself: id() keys are

@@ -362,7 +362,7 @@ def _gather_impl(loc, values, *, vb, n_vblk, eb, n_verts):
         from .onehot_pallas import onehot_gather_blocks
 
         out = onehot_gather_blocks(loc, ws)
-        return _recomb(out, c).reshape(n_vblk * eb, c)
+        return _recomb(out, c)
 
     t = _next_tag(values)
 
@@ -375,12 +375,12 @@ def _gather_impl(loc, values, *, vb, n_vblk, eb, n_verts):
             preferred_element_type=jnp.float32)
         return _recomb(out, c)
 
-    return jax.vmap(blk)(loc, ws).reshape(n_vblk * eb, c)
+    return jax.vmap(blk)(loc, ws)
 
 
 def _scatter_impl(loc, edges, *, vb, n_vblk, eb, n_verts):
     c = edges.shape[-1]
-    es = _split3(edges.reshape(n_vblk, eb, c))
+    es = _split3(edges)
 
     if _use_pallas_onehot():
         from .onehot_pallas import onehot_scatter_windows
@@ -407,7 +407,12 @@ def _scatter_impl(loc, edges, *, vb, n_vblk, eb, n_verts):
 
 
 def banded_gather(loc, values, *, vb, n_vblk, eb, n_verts):
-    """values (n_verts, C) f32 -> padded edge rows (n_vblk*eb, C).
+    """values (n_verts, C) f32 -> BLOCKED padded edge rows (n_vblk, eb, C).
+
+    Edge-domain arrays stay in the blocked 2-D tiling everywhere (the
+    evaluator computes graph residual fields as (n_vblk, eb)); flattening
+    to (n_vblk*eb, C) forces a sublane->lane relayout copy that profiled
+    at ~45 us x2 per PCG iteration on the flagship arap solve.
 
     Bit-exact vs jnp.take; pad rows (loc == -1) come back zero.  Linear in
     `values`, transposing to `banded_scatter`."""
@@ -423,7 +428,7 @@ def banded_gather(loc, values, *, vb, n_vblk, eb, n_verts):
 
 
 def banded_scatter(loc, edges, *, vb, n_vblk, eb, n_verts):
-    """Padded edge rows (n_vblk*eb, C) f32 -> summed (n_verts, C).
+    """BLOCKED padded edge rows (n_vblk, eb, C) f32 -> summed (n_verts, C).
 
     Duplicate targets accumulate in the MXU's f32 accumulator (same error
     class as f32 atomic adds).  Pad rows are dropped (one-hot of -1 is the
@@ -448,23 +453,23 @@ def _ell_gather_impl(values, *, vb, n_vblk, deg, n_verts):
     c = values.shape[-1]
     pb = jnp.pad(values, ((0, n_vblk * vb - n_verts), (0, 0)))
     out = jnp.broadcast_to(
-        pb.reshape(n_vblk * vb, 1, c), (n_vblk * vb, deg, c)
+        pb.reshape(n_vblk, vb, 1, c), (n_vblk, vb, deg, c)
     )
-    return out.reshape(n_vblk * vb * deg, c)
+    return out.reshape(n_vblk, vb * deg, c)
 
 
 def _ell_scatter_impl(edges, *, vb, n_vblk, deg, n_verts):
     c = edges.shape[-1]
-    s = edges.reshape(n_vblk * vb, deg, c).sum(axis=1)
-    return s[:n_verts]
+    s = edges.reshape(n_vblk, vb, deg, c).sum(axis=2)
+    return s.reshape(n_vblk * vb, c)[:n_verts]
 
 
 def ell_gather(values, *, vb, n_vblk, deg, n_verts):
     """Primary-slot ELL gather: vertex values (n_verts, C) broadcast to
-    their deg edge rows (n_vblk*vb*deg, C).  NOTE: unlike banded_gather,
-    PAD rows receive the vertex VALUE, not zero -- residual evaluation
-    masks pad rows via GraphBandPlan.pad_mask, so nothing real flows from
-    them.  Linear; transposes to ell_scatter (row-sum)."""
+    their deg BLOCKED edge rows (n_vblk, vb*deg, C).  NOTE: unlike
+    banded_gather, PAD rows receive the vertex VALUE, not zero -- residual
+    evaluation masks pad rows via GraphBandPlan.pad_mask, so nothing real
+    flows from them.  Linear; transposes to ell_scatter (row-sum)."""
     meta = dict(vb=vb, n_vblk=n_vblk, deg=deg, n_verts=n_verts)
 
     def fwd(_, v):
@@ -515,7 +520,7 @@ def slots_gather(band, slots, values):
     along the row axis against the same 3-block window), so a 2-slot
     J^T J apply costs one gather dot + one scatter dot per iteration
     instead of two of each (same MACs, half the dot/fusion count).
-    Returns {slot: (ep, C) rows}."""
+    Returns {slot: (n_vblk, eb, C) blocked rows}."""
     oh_slots = [
         s for s in slots
         if not (band.layout == "ell" and s == band.primary_slot)
@@ -537,15 +542,13 @@ def slots_gather(band, slots, values):
         meta = band.meta()
         meta["eb"] = band.eb * len(oh_slots)
         rows = banded_gather(loc_stack, values, **meta)
-        c = rows.shape[-1]
-        rows = rows.reshape(band.n_vblk, len(oh_slots), band.eb, c)
         for i, s in enumerate(oh_slots):
-            out[s] = rows[:, i].reshape(band.n_vblk * band.eb, c)
+            out[s] = rows[:, i * band.eb:(i + 1) * band.eb]
     return out
 
 
 def slot_scatter(band, slot, edges):
-    """Sum padded edge rows (ep, C) onto their `slot` vertices."""
+    """Sum blocked edge rows (n_vblk, eb, C) onto their `slot` vertices."""
     if band.layout == "ell" and slot == band.primary_slot:
         return ell_scatter(
             edges, vb=band.vb, n_vblk=band.n_vblk, deg=band.deg,

@@ -452,7 +452,9 @@ class Plan:
                     loc={
                         s: jnp.asarray(lc) for s, lc in gplan.loc.items()
                     },
-                    pad_mask=jnp.asarray(gplan.pad_mask),
+                    pad_mask=jnp.asarray(
+                        gplan.pad_mask.reshape(gplan.n_vblk, gplan.eb)
+                    ),
                     vb=gplan.vb,
                     n_vblk=gplan.n_vblk,
                     eb=gplan.eb,

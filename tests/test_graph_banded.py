@@ -52,7 +52,7 @@ def test_gather_exact(banding):
                 lambda v: gb.banded_gather(
                     jnp.asarray(g.loc[sname]), v, **_meta(g, n))
             )(jnp.asarray(p_perm))
-        )
+        ).reshape(g.ep, -1)
         # padded row e_perm[i] must equal p[slot[i]] exactly
         want = p[slots[sname]]
         np.testing.assert_array_equal(got[g.edge_perm], want)
@@ -70,7 +70,7 @@ def test_scatter_matches_segment_sum(banding):
         jax.jit(
             lambda v: gb.banded_scatter(
                 jnp.asarray(g.loc["v1"]), v, **_meta(g, n))
-        )(jnp.asarray(e))
+        )(jnp.asarray(e.reshape(g.n_vblk, g.eb, -1)))
     )
     want = np.zeros((n, 3), np.float64)
     # scatter target v1, in the permuted vertex order
@@ -92,8 +92,8 @@ def test_transpose_pairing(banding):
     v0 = jnp.zeros((n, 2), jnp.float32)
     _, jvp = jax.linearize(fn, v0)
     jt = jax.linear_transpose(jvp, v0)
-    ct = jnp.asarray(
-        np.random.RandomState(3).randn(g.ep, 2).astype(np.float32))
+    ct = jnp.asarray(np.random.RandomState(3).randn(
+        g.n_vblk, g.eb, 2).astype(np.float32))
     (got,) = jt(ct)
     want = 2.0 * gb.banded_scatter(loc, ct, **meta)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -137,7 +137,7 @@ def test_forced_layout_gather_exact(layout, monkeypatch):
     for sname in ("v0", "v1"):
         got = np.asarray(
             jax.jit(lambda v: gb.slot_gather(band, sname, v))(p_perm)
-        )
+        ).reshape(g.ep, -1)
         np.testing.assert_array_equal(
             got[g.edge_perm], p[slots[sname]]
         )
@@ -181,7 +181,7 @@ def test_slot_scatter_matches_segment_sum(layout, monkeypatch):
     for sname in ("v0", "v1"):
         got = np.asarray(
             jax.jit(lambda v: gb.slot_scatter(band, sname, v))(
-                jnp.asarray(e))
+                jnp.asarray(e.reshape(g.n_vblk, g.eb, -1)))
         )
         want = np.zeros((n, 2), np.float64)
         np.add.at(want, vb.inv_perm[slots[sname]],
@@ -201,8 +201,8 @@ def test_ell_transpose_pairing(monkeypatch):
     v0 = jnp.zeros((n, 2), jnp.float32)
     _, jvp = jax.linearize(fn, v0)
     jt = jax.linear_transpose(jvp, v0)
-    ct = jnp.asarray(
-        np.random.RandomState(16).randn(g.ep, 2).astype(np.float32))
+    ct = jnp.asarray(np.random.RandomState(16).randn(
+        g.n_vblk, g.eb, 2).astype(np.float32))
     (got,) = jt(ct)
     want = 3.0 * gb.ell_scatter(ct, **meta)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -223,7 +223,7 @@ def test_onehot_pallas_interpret(banding):
     loc = jnp.asarray(g.loc["v1"])
     got = gb._recomb(
         np.asarray(op.onehot_gather_blocks(loc, ws, interpret=True)), c
-    ).reshape(g.ep, c)
+    )
     want = gb._gather_impl(loc, jnp.asarray(vals), **_meta(g, n))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
