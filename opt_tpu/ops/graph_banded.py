@@ -336,7 +336,8 @@ def _next_tag(operand):
         return 0
     _ONEHOT_TAG[0] = (_ONEHOT_TAG[0] + 1) % 1024
     if mode == "dynamic":
-        dyn = _BAR(operand[:1, :1] * 0).astype(jnp.int32).reshape(())
+        first = operand.reshape(-1)[0]
+        dyn = _BAR(first * 0).astype(jnp.int32)
         return _ONEHOT_TAG[0] + dyn
     return _ONEHOT_TAG[0]
 
