@@ -79,8 +79,8 @@ class ProblemFunctions:
         band = (data.get("graph_banding") or {}).get(group.graph.name)
         if band is not None:
             # banded engine: edge domain stays in the blocked 2-D tiling
-            # (n_vblk, eb) end-to-end (see ops/graph_banded.banded_gather)
-            return (band.n_vblk, band.eb)
+            # (n_eblk, eb) end-to-end (see ops/graph_banded.banded_gather)
+            return (band.n_eblk, band.eb)
         any_slot = next(iter(group.graph.slots))
         return data["graph_indices"][group.graph.name][any_slot].shape
 

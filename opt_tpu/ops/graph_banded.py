@@ -75,22 +75,25 @@ class GraphBandPlan:
 
     __slots__ = ("name", "vb", "n_vblk", "eb", "ep", "n_edges",
                  "loc", "pad_mask", "edge_perm", "layout", "primary_slot",
-                 "deg")
+                 "deg", "n_eblk", "wblk")
 
     def __init__(self, name, vb, n_vblk, eb, n_edges, loc, pad_mask,
-                 edge_perm, layout="balanced", primary_slot=None, deg=0):
+                 edge_perm, layout="balanced", primary_slot=None, deg=0,
+                 n_eblk=None, wblk=None):
         self.name = name
         self.vb = vb
         self.n_vblk = n_vblk
+        self.n_eblk = n_vblk if n_eblk is None else n_eblk
         self.eb = eb
-        self.ep = n_vblk * eb
+        self.ep = self.n_eblk * eb
         self.n_edges = n_edges
-        self.loc = loc              # slot -> (n_vblk, eb) int32, -1 = pad
+        self.loc = loc              # slot -> (n_eblk, eb) int32, -1 = pad
         self.pad_mask = pad_mask    # (ep,) bool, True = real edge
         self.edge_perm = edge_perm  # (n_edges,) position of edge i in ep
         self.layout = layout
         self.primary_slot = primary_slot  # 'ell': the broadcast/sum slot
         self.deg = deg                    # 'ell': rows per vertex
+        self.wblk = wblk  # 'tiled': (n_eblk, K) window vertex-block ids
 
 
 class VertexBanding:
@@ -144,20 +147,155 @@ def plan_vertex_banding(graphs_np, n_verts, max_bandwidth=2048,
     inv = np.empty(n_verts, np.int64)
     inv[perm] = np.arange(n_verts)
     bw = int(np.abs(inv[r] - inv[c]).max()) if len(r) else 0
-    if not force and bw > max_bandwidth:
-        return None
-    vb = max(LANE, _roundup(max(bw, 1), LANE))
 
-    n_vblk = (n_verts + vb - 1) // vb
-    plans = {}
-    for gname, slots in graphs_np.items():
-        plans[gname] = _plan_graph_layout(
-            gname, slots, inv, n_verts, vb, n_vblk
+    import os
+
+    forced = os.environ.get("OPT_TPU_GRAPH_LAYOUT", "auto")
+
+    def plan_for_perm(perm_, inv_, bw_, allow_window):
+        plans_, total = {}, 0
+        for gname, slots in graphs_np.items():
+            cands = []
+            if allow_window and bw_ <= max_bandwidth and forced != "tiled":
+                vb_w = max(LANE, _roundup(max(bw_, 1), LANE))
+                n_vblk_w = (n_verts + vb_w - 1) // vb_w
+                p = _plan_graph_layout(
+                    gname, slots, inv_, n_verts, vb_w, n_vblk_w, forced
+                )
+                cands.append((_onehot_work(p), p))
+            if forced in ("auto", "tiled"):
+                pt = _plan_graph_tiled(gname, slots, inv_, n_verts)
+                if pt is not None:
+                    cands.append((_onehot_work(pt), pt))
+            if not cands:
+                continue
+            work, best = min(cands, key=lambda c: c[0])
+            n_slots = len(slots)
+            n_e = len(next(iter(slots.values())))
+            # beyond ~MAX_ONEHOT_PER_EDGE one-hot elements per
+            # (edge, slot) the VPU generation cost crosses
+            # take/segment_sum's ~4 ns/row; skip unless forced
+            if not force and work > MAX_ONEHOT_PER_EDGE * n_slots * n_e:
+                continue
+            plans_[gname] = best
+            total += work
+        return plans_, total
+
+    plans, total = plan_for_perm(perm, inv, bw, allow_window=True)
+    if bw > max_bandwidth:
+        # RCM failed to band the graph; its BFS ordering can also scatter
+        # whatever locality the ORIGINAL vertex order had (e.g. a local
+        # mesh plus a few random chords), exploding the tiled windows.
+        # Try tiled layouts on the identity permutation and keep the
+        # cheaper of the two orderings.
+        ident = np.arange(n_verts, dtype=np.int64)
+        plans_id, total_id = plan_for_perm(
+            ident, ident, bw, allow_window=False
         )
-    return VertexBanding(n_verts, perm, inv, vb, bw, plans)
+        if plans_id and (not plans or total_id < total):
+            plans, perm, inv = plans_id, ident, ident
+    if not plans:
+        return None
+    return VertexBanding(n_verts, perm, inv, LANE, bw, plans)
 
 
-def _plan_graph_layout(gname, slots, inv, n_verts, vb, n_vblk):
+# max vertex blocks per edge-tile window -- a MEMORY bound on the take'd
+# (n_eblk, K*vb, C) window arrays, not a work heuristic: the _onehot_work
+# comparison in plan_vertex_banding decides tiled-vs-window-vs-nothing
+MAX_WINDOW_BLOCKS = 64
+
+# one-hot elements per (edge, slot) at which banding loses to take.
+# Measured anchors (v5e, arap tri-grid 10k): one-hot generation streams
+# at ~0.5 T elem/s (1.9 ps/elem) while take/segment_sum costs ~4.3 ns
+# per row -> crossover ~2200 elems/edge
+MAX_ONEHOT_PER_EDGE = 2048
+
+
+def _onehot_work(p):
+    """One-hot elements generated per full gather+scatter sweep -- the
+    VPU-bound cost that dominates the engine (profiled: one-hot iota-
+    compare generation, not the MXU dot, bounds each fusion)."""
+    n_slots = len(p.loc)
+    if p.layout == "ell":
+        window = 3 * p.vb
+        return (n_slots - 1) * p.n_eblk * p.eb * window
+    if p.layout == "tiled":
+        return n_slots * p.n_eblk * p.eb * p.wblk.shape[1] * p.vb
+    return n_slots * p.n_eblk * p.eb * 3 * p.vb
+
+
+def _plan_graph_tiled(gname, slots, inv, n_verts):
+    """Two-level layout for graphs whose RCM bandwidth defeats 3-block
+    windows (mostly-local meshes with long-range edges).  Edges sort by
+    slot-0 vertex into per-vertex-block tiles as in 'balanced', but each
+    tile carries an explicit LIST of the vertex blocks its endpoints
+    touch (wblk): the gather first `take`s those whole blocks (coarse,
+    amortized) and then one-hots within the K-block window (fine, MXU).
+    Returns None when some tile touches more than MAX_WINDOW_BLOCKS
+    blocks (take/segment_sum or a window layout wins there).
+
+    Measured (v5e, 30k-vertex band-15 graph + random chords, arap
+    8x100): at work/edge 2097 (the gate boundary) forced tiled ran
+    2692 ms vs take 2274 ms, and a lower-chord case was similar -- the
+    one-hot work model undercounts the K-block window HBM traffic
+    (K*vb cols materialized per tile per direction) and XLA compile
+    takes ~2 min at n_eblk=235.  The MAX_ONEHOT_PER_EDGE gate therefore
+    correctly keeps tiled OFF in auto mode for chord-heavy graphs; it
+    exists for block-local graphs (cluster + sparse inter-cluster
+    links) where K stays ~3-5, and for forced banded mode."""
+    vb = LANE
+    n_vblk = (n_verts + vb - 1) // vb
+    snames = list(slots)
+    perm_slots = {sn: inv[np.asarray(slots[sn], np.int64)]
+                  for sn in snames}
+    n_edges = len(perm_slots[snames[0]])
+    s0 = perm_slots[snames[0]]
+    order = np.argsort(s0 // vb, kind="stable")
+    sorted_slots = {sn: perm_slots[sn][order] for sn in snames}
+    key_blk = sorted_slots[snames[0]] // vb
+    starts = np.searchsorted(key_blk, np.arange(n_vblk))
+    ends = np.searchsorted(key_blk, np.arange(1, n_vblk + 1))
+    eb = int(_roundup(max(int((ends - starts).max()), 1), SUBLANE))
+
+    # per-tile union of touched vertex blocks (all slots)
+    windows = []
+    for b in range(n_vblk):
+        s, e = starts[b], ends[b]
+        blks = np.unique(np.concatenate(
+            [sorted_slots[sn][s:e] // vb for sn in snames]
+        )) if e > s else np.zeros(1, np.int64)
+        windows.append(blks)
+    K = max(1, max(len(w) for w in windows))
+    if K > MAX_WINDOW_BLOCKS:
+        return None
+    wblk = np.zeros((n_vblk, K), np.int32)
+    loc = {sn: np.full((n_vblk, eb), -1, np.int32) for sn in snames}
+    for b in range(n_vblk):
+        blks = windows[b]
+        wblk[b, : len(blks)] = blks
+        wpos = {int(bk): i for i, bk in enumerate(blks)}
+        s, e = starts[b], ends[b]
+        for sn in snames:
+            vs = sorted_slots[sn][s:e]
+            pos = np.fromiter(
+                (wpos[int(v // vb)] for v in vs), np.int64, e - s
+            )
+            loc[sn][b, : e - s] = (
+                pos * vb + (vs - (vs // vb) * vb)
+            ).astype(np.int32)
+    pad = np.zeros((n_vblk, eb), bool)
+    for b in range(n_vblk):
+        pad[b, : ends[b] - starts[b]] = True
+    edge_perm = np.empty(n_edges, np.int64)
+    edge_perm[order] = np.flatnonzero(pad.reshape(-1))
+    return GraphBandPlan(
+        gname, vb, n_vblk, eb, n_edges, loc, pad.reshape(-1),
+        edge_perm, layout="tiled", n_eblk=n_vblk, wblk=wblk,
+    )
+
+
+def _plan_graph_layout(gname, slots, inv, n_verts, vb, n_vblk,
+                       forced="auto"):
     """Pick balanced vs ELL layout for one graph and build its tiling."""
     snames = list(slots)
     perm_slots = {sn: inv[np.asarray(slots[sn], np.int64)] for sn in snames}
@@ -182,9 +320,6 @@ def _plan_graph_layout(gname, slots, inv, n_verts, vb, n_vblk):
             ell_sn, ell_deg = sn, deg
     work_ell = (len(snames) - 1) * n_vblk * vb * ell_deg
 
-    import os
-
-    forced = os.environ.get("OPT_TPU_GRAPH_LAYOUT", "auto")
     use_ell = work_ell < work_bal if forced == "auto" else forced == "ell"
     if use_ell:
         eb = vb * ell_deg
@@ -238,9 +373,9 @@ class DeviceBanding:
     Python int under jit instead of being traced)."""
 
     def __init__(self, loc, pad_mask, vb, n_vblk, eb, n_verts,
-                 layout="balanced", primary_slot=None, deg=0):
-        self.loc = loc            # slot -> (n_vblk, eb) int32
-        self.pad_mask = pad_mask  # (n_vblk*eb,) bool
+                 layout="balanced", primary_slot=None, deg=0, wblk=None):
+        self.loc = loc            # slot -> (n_eblk, eb) int32
+        self.pad_mask = pad_mask  # (n_eblk, eb) bool
         self.vb = vb
         self.n_vblk = n_vblk
         self.eb = eb
@@ -248,6 +383,12 @@ class DeviceBanding:
         self.layout = layout
         self.primary_slot = primary_slot
         self.deg = deg
+        self.wblk = wblk          # 'tiled': (n_eblk, K) int32 block ids
+
+    @property
+    def n_eblk(self):
+        return (self.wblk.shape[0] if self.layout == "tiled"
+                else self.n_vblk)
 
     def meta(self):
         return dict(vb=self.vb, n_vblk=self.n_vblk, eb=self.eb,
@@ -255,14 +396,14 @@ class DeviceBanding:
 
     def tree_flatten(self):
         return (
-            (self.loc, self.pad_mask),
+            (self.loc, self.pad_mask, self.wblk),
             (self.vb, self.n_vblk, self.eb, self.n_verts,
              self.layout, self.primary_slot, self.deg),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], *aux, wblk=children[2])
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +641,90 @@ def ell_scatter(edges, *, vb, n_vblk, deg, n_verts):
 
 
 # ---------------------------------------------------------------------------
+# tiled two-level ops: coarse block take + fine one-hot within K-block
+# windows (graphs whose RCM bandwidth exceeds the 3-block-window limit)
+# ---------------------------------------------------------------------------
+
+
+def _tiled_gather_impl(wblk, loc, values, *, vb, n_vblk, eb, n_verts):
+    c = values.shape[-1]
+    n_eblk, K = wblk.shape
+    pb = jnp.pad(values, ((0, n_vblk * vb - n_verts), (0, 0)))
+    # coarse: take whole (vb, c) blocks -- one row per (tile, window slot),
+    # vb*c elements each, so the per-row sparse-gather overhead amortizes
+    win = jnp.take(pb.reshape(n_vblk, vb * c), wblk.reshape(-1), axis=0)
+    ws = _split3(win.reshape(n_eblk, K * vb, c))
+    t = _next_tag(values)
+
+    def blk(locb, wb):
+        oh = ((locb[:, None] - t) ==
+              (jax.lax.broadcasted_iota(jnp.int32, (eb, K * vb), 1) - t)
+              ).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, wb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return _recomb(out, c)
+
+    return jax.vmap(blk)(loc, ws)
+
+
+def _tiled_scatter_impl(wblk, loc, edges, *, vb, n_vblk, eb, n_verts):
+    c = edges.shape[-1]
+    n_eblk, K = wblk.shape
+    es = _split3(edges)
+    t = _next_tag(edges)
+
+    def blk(locb, ebk):
+        oh = ((locb[:, None] - t) ==
+              (jax.lax.broadcasted_iota(jnp.int32, (eb, K * vb), 1) - t)
+              ).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, ebk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return _recomb(out, c)
+
+    w = jax.vmap(blk)(loc, es)  # (n_eblk, K*vb, c) window contributions
+    # coarse: sum whole-block contributions back by window block id (pad
+    # window slots carry zeros -- one-hot of -1 is the zero row -- so the
+    # duplicate wblk=0 padding is harmless)
+    contrib = w.reshape(n_eblk * K, vb * c)
+    out = jax.ops.segment_sum(
+        contrib, wblk.reshape(-1), num_segments=n_vblk
+    )
+    return out.reshape(n_vblk * vb, c)[:n_verts]
+
+
+def tiled_gather(wblk, loc, values, *, vb, n_vblk, eb, n_verts):
+    """values (n_verts, C) f32 -> blocked edge rows (n_eblk, eb, C) via
+    per-tile K-block windows.  Bit-exact vs jnp.take; pad rows zero.
+    Linear in `values`, transposing to `tiled_scatter`."""
+    meta = dict(vb=vb, n_vblk=n_vblk, eb=eb, n_verts=n_verts)
+
+    def fwd(res, v):
+        return _tiled_gather_impl(res[0], res[1], v, **meta)
+
+    def bwd(res, ct):
+        return _tiled_scatter_impl(res[0], res[1], ct, **meta)
+
+    return linear_call(fwd, bwd, (wblk, loc), values)
+
+
+def tiled_scatter(wblk, loc, edges, *, vb, n_vblk, eb, n_verts):
+    """Blocked edge rows (n_eblk, eb, C) -> summed (n_verts, C) via the
+    transposed window one-hot + coarse segment_sum of whole blocks.
+    Linear in `edges`, transposing to `tiled_gather`."""
+    meta = dict(vb=vb, n_vblk=n_vblk, eb=eb, n_verts=n_verts)
+
+    def fwd(res, e):
+        return _tiled_scatter_impl(res[0], res[1], e, **meta)
+
+    def bwd(res, ct):
+        return _tiled_gather_impl(res[0], res[1], ct, **meta)
+
+    return linear_call(fwd, bwd, (wblk, loc), edges)
+
+
+# ---------------------------------------------------------------------------
 # slot dispatch (the only entry points solvers/evaluators should use)
 # ---------------------------------------------------------------------------
 
@@ -512,6 +737,9 @@ def slot_gather(band, slot, values):
             values, vb=band.vb, n_vblk=band.n_vblk, deg=band.deg,
             n_verts=band.n_verts,
         )
+    if band.layout == "tiled":
+        return tiled_gather(band.wblk, band.loc[slot], values,
+                            **band.meta())
     return banded_gather(band.loc[slot], values, **band.meta())
 
 
@@ -533,26 +761,32 @@ def slots_gather(band, slots, values):
             n_verts=band.n_verts,
         )
     if len(oh_slots) == 1:
-        out[oh_slots[0]] = banded_gather(
-            band.loc[oh_slots[0]], values, **band.meta()
-        )
+        out[oh_slots[0]] = slot_gather(band, oh_slots[0], values)
     elif oh_slots:
         loc_stack = jnp.concatenate(
             [band.loc[s] for s in oh_slots], axis=1
         )
         meta = band.meta()
         meta["eb"] = band.eb * len(oh_slots)
-        rows = banded_gather(loc_stack, values, **meta)
+        if band.layout == "tiled":
+            # slots share the per-tile window, so they stack into one
+            # dot against the same take'd K-block window
+            rows = tiled_gather(band.wblk, loc_stack, values, **meta)
+        else:
+            rows = banded_gather(loc_stack, values, **meta)
         for i, s in enumerate(oh_slots):
             out[s] = rows[:, i * band.eb:(i + 1) * band.eb]
     return out
 
 
 def slot_scatter(band, slot, edges):
-    """Sum blocked edge rows (n_vblk, eb, C) onto their `slot` vertices."""
+    """Sum blocked edge rows (n_eblk, eb, C) onto their `slot` vertices."""
     if band.layout == "ell" and slot == band.primary_slot:
         return ell_scatter(
             edges, vb=band.vb, n_vblk=band.n_vblk, deg=band.deg,
             n_verts=band.n_verts,
         )
+    if band.layout == "tiled":
+        return tiled_scatter(band.wblk, band.loc[slot], edges,
+                             **band.meta())
     return banded_scatter(band.loc[slot], edges, **band.meta())

@@ -115,6 +115,8 @@ def shard_problem(plan, x, data, mesh):
                 vb=band.vb, n_vblk=band.n_vblk, eb=band.eb,
                 n_verts=band.n_verts, layout=band.layout,
                 primary_slot=band.primary_slot, deg=band.deg,
+                wblk=(put(band.wblk, P(*blk_spec, None))
+                      if band.wblk is not None else None),
             )
 
         data2["graph_banding"] = {

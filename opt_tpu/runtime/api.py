@@ -374,18 +374,38 @@ class Plan:
                 # rows point at vertex 0 and are masked/dropped everywhere
                 flat = {}
                 for sname, lc in gplan.loc.items():
-                    blk = np.arange(gplan.n_vblk, dtype=np.int64)[:, None]
-                    gidx = lc.astype(np.int64) + (blk - 1) * gplan.vb
+                    lc64 = lc.astype(np.int64)
+                    if gplan.layout == "tiled":
+                        # loc = window_pos*vb + offset; window_pos keys
+                        # the per-tile block list wblk
+                        wb = gplan.wblk.astype(np.int64)
+                        gidx = (
+                            np.take_along_axis(
+                                wb, np.clip(lc64, 0, None) // gplan.vb,
+                                axis=1,
+                            ) * gplan.vb + lc64 % gplan.vb
+                        )
+                    else:
+                        blk = np.arange(
+                            gplan.n_eblk, dtype=np.int64)[:, None]
+                        gidx = lc64 + (blk - 1) * gplan.vb
                     gidx[lc < 0] = 0
                     flat[sname] = jnp.asarray(
                         gidx.reshape(-1), jnp.int32
                     )
                 graph_indices[gname] = flat
             else:
-                graph_indices[gname] = {
-                    s: jnp.asarray(a, jnp.int32)
-                    for s, a in slots.items()
-                }
+                # not banded itself, but remap any slot whose vertex
+                # space WAS banded (arrays are in RCM-permuted order)
+                flat = {}
+                for sname, a in slots.items():
+                    skey = g.slots[sname].ispace.key()
+                    svb = banding.get(skey) if banding else None
+                    idx = np.asarray(a, np.int64)
+                    if svb is not None:
+                        idx = svb.inv_perm[idx]
+                    flat[sname] = jnp.asarray(idx, jnp.int32)
+                graph_indices[gname] = flat
 
         data = {
             "images": images,
@@ -453,7 +473,7 @@ class Plan:
                         s: jnp.asarray(lc) for s, lc in gplan.loc.items()
                     },
                     pad_mask=jnp.asarray(
-                        gplan.pad_mask.reshape(gplan.n_vblk, gplan.eb)
+                        gplan.pad_mask.reshape(gplan.n_eblk, gplan.eb)
                     ),
                     vb=gplan.vb,
                     n_vblk=gplan.n_vblk,
@@ -462,6 +482,8 @@ class Plan:
                     layout=gplan.layout,
                     primary_slot=gplan.primary_slot,
                     deg=gplan.deg,
+                    wblk=(jnp.asarray(gplan.wblk)
+                          if gplan.wblk is not None else None),
                 )
         return banding, graph_banding
 

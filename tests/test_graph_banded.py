@@ -242,6 +242,144 @@ def test_onehot_pallas_interpret(banding):
 
 
 # ---------------------------------------------------------------------------
+# tiled two-level layout: high-bandwidth graphs (local + long-range edges)
+# ---------------------------------------------------------------------------
+
+
+def _longrange_graph(seed=21, n=3000, deg=4, band=20, n_far=40):
+    """Mostly-local graph plus a few random long-range chords: RCM
+    bandwidth blows past the 3-block-window limit but every edge tile
+    touches few blocks."""
+    rng = np.random.RandomState(seed)
+    v0 = np.repeat(np.arange(n), deg).astype(np.int64)
+    v1 = np.clip(v0 + rng.randint(-band, band + 1, size=len(v0)), 0, n - 1)
+    far0 = rng.randint(0, n, n_far)
+    far1 = rng.randint(0, n, n_far)
+    v0 = np.concatenate([v0, far0, far1])
+    v1 = np.concatenate([v1, far1, far0])
+    return {"v0": v0, "v1": v1.astype(np.int64)}, n
+
+
+@pytest.fixture(scope="module")
+def tiled_banding():
+    slots, n = _longrange_graph()
+    vb = gb.plan_vertex_banding({"G": slots}, n, max_bandwidth=256,
+                                force=True)
+    assert vb is not None
+    assert vb.graphs["G"].layout == "tiled"
+    return vb, slots, n
+
+
+def test_tiled_plan_shapes(tiled_banding):
+    vb, slots, n = tiled_banding
+    g = vb.graphs["G"]
+    assert g.wblk is not None and g.wblk.shape[0] == g.n_eblk
+    assert g.wblk.shape[1] <= gb.MAX_WINDOW_BLOCKS
+    assert g.pad_mask.sum() == len(slots["v0"])
+    K = g.wblk.shape[1]
+    for lc in g.loc.values():
+        real = lc[lc >= 0]
+        assert real.min() >= 0 and real.max() < K * g.vb
+
+
+def test_tiled_gather_scatter_exact(tiled_banding):
+    vb, slots, n = tiled_banding
+    g = vb.graphs["G"]
+    band = gb.DeviceBanding(
+        {s: jnp.asarray(lc) for s, lc in g.loc.items()},
+        jnp.asarray(g.pad_mask.reshape(g.n_eblk, g.eb)),
+        g.vb, g.n_vblk, g.eb, n, layout="tiled",
+        wblk=jnp.asarray(g.wblk),
+    )
+    p = np.random.RandomState(22).randn(n, 3).astype(np.float32)
+    p_perm = jnp.asarray(p[vb.perm])
+    for sname in ("v0", "v1"):
+        got = np.asarray(
+            jax.jit(lambda v: gb.slot_gather(band, sname, v))(p_perm)
+        ).reshape(g.ep, -1)
+        np.testing.assert_array_equal(got[g.edge_perm], p[slots[sname]])
+        assert np.all(got[~g.pad_mask] == 0)
+    # stacked slots_gather agrees
+    rows = jax.jit(
+        lambda v: gb.slots_gather(band, ["v0", "v1"], v))(p_perm)
+    for sname in ("v0", "v1"):
+        want = jax.jit(lambda v: gb.slot_gather(band, sname, v))(p_perm)
+        np.testing.assert_array_equal(
+            np.asarray(rows[sname]), np.asarray(want))
+    # scatter matches segment_sum
+    e = np.zeros((g.ep, 2), np.float32)
+    e[g.pad_mask] = np.random.RandomState(23).randn(
+        int(g.pad_mask.sum()), 2)
+    got = np.asarray(
+        jax.jit(lambda v: gb.slot_scatter(band, "v1", v))(
+            jnp.asarray(e.reshape(g.n_eblk, g.eb, -1)))
+    )
+    want = np.zeros((n, 2), np.float64)
+    np.add.at(want, vb.inv_perm[slots["v1"]],
+              e[g.edge_perm].astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_transpose_pairing(tiled_banding):
+    vb, slots, n = tiled_banding
+    g = vb.graphs["G"]
+    wblk = jnp.asarray(g.wblk)
+    loc = jnp.asarray(g.loc["v1"])
+    meta = _meta(g, n)
+
+    def fn(v):
+        return gb.tiled_gather(wblk, loc, v, **meta) * 2.0
+
+    v0 = jnp.zeros((n, 2), jnp.float32)
+    _, jvp = jax.linearize(fn, v0)
+    jt = jax.linear_transpose(jvp, v0)
+    ct = jnp.asarray(np.random.RandomState(24).randn(
+        g.n_eblk, g.eb, 2).astype(np.float32))
+    (got,) = jt(ct)
+    want = 2.0 * gb.tiled_scatter(wblk, loc, ct, **meta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_arap_tiled_matches_take():
+    """End-to-end solve on a long-range graph: the tiled engine matches
+    take/segment_sum."""
+    import opt_tpu
+    from opt_tpu import energies
+
+    # enough random chords that the post-RCM bandwidth makes 3-block
+    # windows more one-hot work than K-block tiled windows (the
+    # _onehot_work comparison picks tiled)
+    slots, n = _longrange_graph(seed=25, n=6000, deg=4, band=15,
+                                n_far=120)
+    e = len(slots["v0"])
+    inputs = _arap_inputs(n, slots)
+    results = {}
+    for mode in ("take", "banded"):
+        state = opt_tpu.NewState(graph_mode=mode)
+        plan = state.problem_plan(
+            state.problem_define(energies.arap_mesh_deformation,
+                                 "gaussNewtonGPU"), [n, e],
+        )
+        plan.set_solver_parameter("nIterations", 3)
+        plan.set_solver_parameter("lIterations", 15)
+        plan.init(inputs)
+        if mode == "banded":
+            bandplan = plan._active_banding
+            key = next(iter(bandplan))
+            assert bandplan[key].graphs["G"].layout == "tiled", (
+                "test graph unexpectedly bandable; raise n_far/band")
+        init_cost = plan.current_cost()
+        while plan.step():
+            pass
+        results[mode] = (init_cost, plan.final_cost())
+    ic_t, fc_t = results["take"]
+    ic_b, fc_b = results["banded"]
+    assert ic_b == pytest.approx(ic_t, rel=1e-6)
+    assert fc_b == pytest.approx(fc_t, rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
 # end-to-end: banded engine inside a full solve
 # ---------------------------------------------------------------------------
 
