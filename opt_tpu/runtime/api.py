@@ -70,6 +70,7 @@ class OptState:
         guarded_invert_type="CERES",
         jacobi_scaling="ONCE_PER_SOLVE",
         graph_mode=None,
+        plane_mode=None,
     ):
         if double_precision:
             jax.config.update("jax_enable_x64", True)
@@ -102,6 +103,21 @@ class OptState:
         # engine (ops/graph_banded.py), 'take' forces XLA take/segment_sum,
         # 'auto' picks banded when the graph is large and RCM-bandable.
         self.graph_mode = graph_mode
+        if plane_mode is None:
+            import os
+
+            plane_mode = os.environ.get("OPT_TPU_PLANE_MODE", "0") == "1"
+        # channel-plane solver layout: every unknown/image channel is its
+        # own (spatial) array inside the jitted solve, so no (H, W, C)
+        # tensors exist for XLA to pick layouts for.  Motivated by the
+        # SFS PCG body carrying both T(8,128) plane and T(1,128) vector
+        # layouts on (480,640,1) tensors; MEASURED SLOWER on v5e
+        # (image_warping 512^2 8x400: 125.5 -> 140.1 ms; SFS 60x10:
+        # 72.2 -> 82.6 ms) -- XLA's mixed layouts are deliberate and
+        # cheaper than uniform planes on grids, unlike the graph case
+        # (ops/graph_banded.py blocked tiling) where uniformity won 2x.
+        # Kept off by default as the measured record; grid problems only.
+        self.plane_mode = bool(plane_mode)
         self.dtype = jnp.float64 if double_precision else jnp.float32
 
     def problem_define(self, energy, kind="gaussNewtonGPU"):
@@ -152,6 +168,61 @@ def _run_energy(energy, env):
     exec(compile(src, path, "exec"), ns)
 
 
+def _plane_wrap_solver(fns):
+    """Wrap a kernel_safe (channel-plane) solver so its public signatures
+    keep the array-form (.., C) pytrees: channels split to planes on
+    entry and re-stack on exit INSIDE the traced function (free slices
+    under XLA).  The PCG while-loop carries are then uniform (spatial)
+    planes -- no (H, W, C) tensors for XLA to assign mixed T(8,128) /
+    T(1,128) layouts to (see OptState.plane_mode)."""
+    init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = fns
+
+    def split(t):
+        return {
+            n: [a[..., c] for c in range(a.shape[-1])]
+            for n, a in t.items()
+        }
+
+    def stack(t):
+        return {n: jnp.stack(chans, axis=-1) for n, chans in t.items()}
+
+    def data_in(data):
+        d = dict(data)
+        d["images"] = split(data["images"])
+        return d
+
+    def st_in(state):
+        st = dict(state)
+        st["x"] = split(state["x"])
+        if isinstance(state["ssq"], dict):  # LM only; GN holds a scalar
+            st["ssq"] = split(state["ssq"])
+        return st
+
+    def st_out(state):
+        st = dict(state)
+        st["x"] = stack(state["x"])
+        if isinstance(state["ssq"], dict):
+            st["ssq"] = stack(state["ssq"])
+        return st
+
+    def w_init(x, data, sp):
+        return st_out(init_fn(split(x), data_in(data), sp))
+
+    def w_step(state, data, sp):
+        return st_out(step_fn(st_in(state), data_in(data), sp))
+
+    def w_cost(state, data):
+        return cost_fn(st_in(state), data_in(data))
+
+    def w_solve(state, data, sp):
+        return st_out(solve_fn(st_in(state), data_in(data), sp))
+
+    def w_full(x, data, sp):
+        return st_out(full_solve_fn(split(x), data_in(data), sp))
+
+    return w_init, w_step, w_cost, w_solve, w_full
+
+
 class Plan:
     """A shape-specialized, jitted solver (opt.Plan, o.t:158-164)."""
 
@@ -175,9 +246,26 @@ class Plan:
             use_pallas_pcg=state.use_pallas,
             pcg_variant=state.pcg_variant,
         )
-        init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = make_solver(
-            self.funcs, self.config
+        self.plane_mode = bool(
+            state.plane_mode
+            and not self.spec.graphs
+            and not state.use_materialized_jacobian
+            and not state.use_fused_jtj
+            and not state.use_pallas
+            and not state.collect_kernel_timing
         )
+        if self.plane_mode:
+            pf_safe = ProblemFunctions(
+                self.spec, state.dtype, kernel_safe=True
+            )
+            fns = make_solver(pf_safe, self.config)
+            init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = (
+                _plane_wrap_solver(fns)
+            )
+        else:
+            init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = (
+                make_solver(self.funcs, self.config)
+            )
         # raw (unjitted) versions, e.g. for the driver's compile checks
         self.raw_init_fn = init_fn
         self.raw_step_fn = step_fn

@@ -214,3 +214,33 @@ def test_public_api_surface_stability():
     )
     for m in plan_methods:
         assert callable(getattr(opt_tpu.Plan, m)), m
+
+
+def test_plane_mode_matches_array_mode():
+    """Experimental channel-plane solver layout (OptState.plane_mode)
+    must match the default array layout for GN and LM (measured-slower
+    on TPU but kept as a layout experiment; see OptState docs)."""
+    import numpy as np
+    import opt_tpu
+    from tests.test_solver_dense import warp_energy, warp_inputs
+
+    W, H = 24, 16
+    inputs = warp_inputs(W, H, seed=3)
+    for kind in ("gaussNewtonGPU", "LMGPU"):
+        res = {}
+        for pm in (False, True):
+            state = opt_tpu.NewState(plane_mode=pm)
+            plan = state.problem_plan(
+                state.problem_define(warp_energy, kind), [W, H])
+            plan.set_solver_parameter("nIterations", 2)
+            plan.set_solver_parameter("lIterations", 8)
+            plan.init(inputs)
+            while plan.step():
+                pass
+            res[pm] = (plan.final_cost(), plan.unknowns())
+        assert abs(res[True][0] - res[False][0]) <= (
+            1e-4 * abs(res[False][0])
+        )
+        for n in res[False][1]:
+            np.testing.assert_allclose(
+                res[True][1][n], res[False][1][n], rtol=2e-3, atol=1e-4)
