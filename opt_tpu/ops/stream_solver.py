@@ -82,8 +82,12 @@ def _stencil_radius_axis0(spec):
     return radius
 
 
-def supports(plan, tile=32):
-    """Eligibility: GN, one 2-D grid ispace, f32, aligned sizes."""
+def supports(plan, tile=32, state_in="vmem"):
+    """Eligibility: GN, one 2-D grid ispace, f32, aligned sizes.
+
+    state_in='vmem' (StreamSolver) keeps the PCG state vectors resident;
+    'hbm' (StreamSolverHBM) streams them too, so only window/tile
+    buffers count against VMEM and arbitrarily large grids qualify."""
     if plan.config.uses_lambda:
         return False
     if plan.funcs.dtype != jnp.float32:
@@ -114,7 +118,19 @@ def supports(plan, tile=32):
     h = _roundup(max(2 * r, 1), SUBLANE)
     if h > tile:
         return False
-    return _estimate_vmem(plan, tile, h, H, W) <= VMEM_BUDGET_BYTES
+    if state_in == "hbm":
+        # 3 of the 4 stacked tile stages alias insw plane-groups
+        # (StreamSolverHBM kernel) -> need nIn = 2*nU + nC >= 3*nU
+        funcs = plan.funcs
+        nU = sum(s[-1] for s in funcs.unknown_shapes.values())
+        nC = sum(
+            im.channels for n, im in plan.spec.images.items()
+            if not im.is_unknown and n not in funcs.aliases
+        )
+        if nC < nU:
+            return False
+    est = _estimate_vmem(plan, tile, h, H, W, state_in=state_in)
+    return est <= VMEM_BUDGET_BYTES
 
 
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
@@ -125,9 +141,11 @@ def _roundup(v, m):
     return ((v + m - 1) // m) * m
 
 
-def _estimate_vmem(plan, tile, h, H, W):
+def _estimate_vmem(plan, tile, h, H, W, state_in="vmem"):
     """Resident state + windows + a temp model (factor per residual
-    channel on the window shape, as calibrated for the VMEM engine)."""
+    channel on the window shape, as calibrated for the VMEM engine).
+    state_in='hbm': the state vectors are streamed, so only their
+    window/tile buffers count."""
     funcs = plan.funcs
     nU = sum(s[-1] for s in funcs.unknown_shapes.values())
     nC = sum(
@@ -135,20 +153,33 @@ def _estimate_vmem(plan, tile, h, H, W):
         if not im.is_unknown and n not in funcs.aliases
     )
     win_rows = tile + 2 * h
-    state = nU * ((H + 2 * h) + 3 * H) * W * 4          # p, r, Ap, delta
-    windows = (nU * 2 + nC) * win_rows * W * 4           # x, sqp, consts
     n_res = sum(
         len(g.exprs) for g in funcs.groups if g.kind == "centered"
     )
-    temps = TEMP_PLANES_FACTOR * n_res * win_rows * W * 4
+    if state_in == "hbm":
+        # only the p windows are extra; tile stages alias window heads.
+        # Evaluator temps live only inside sweep1's windowed linearize,
+        # so half the whole-solve calibration factor (a v1 kernel with
+        # MORE buffers compiled and ran at 4096^2/T=16 where factor 4
+        # would have predicted 21 MB).
+        state = nU * win_rows * W * 4
+        temps = (TEMP_PLANES_FACTOR // 2) * n_res * win_rows * W * 4
+    else:
+        state = nU * ((H + 2 * h) + 3 * H) * W * 4      # p, r, Ap, delta
+        temps = TEMP_PLANES_FACTOR * n_res * win_rows * W * 4
+    windows = (nU * 2 + nC) * win_rows * W * 4           # x, sqp, consts
     return state + windows + temps
 
 
 class StreamSolver:
     """Full GN solve with the tiled streamed-constant PCG kernel."""
 
+    STATE_IN = "vmem"
+
     def __init__(self, plan, tile=32):
-        assert supports(plan, tile), "plan not eligible for StreamSolver"
+        assert supports(plan, tile, self.STATE_IN), (
+            "plan not eligible for this stream solver"
+        )
         self.plan = plan
         self.tile = tile
         funcs = plan.funcs
@@ -497,3 +528,322 @@ class StreamSolver:
         )
         x_new, cost = fn(x, data, pvals)
         return {"x": x_new, "final_cost": float(cost)}
+
+
+class StreamSolverHBM(StreamSolver):
+    """Fully-streamed variant for larger-than-VMEM grids.
+
+    StreamSolver keeps p/r/Ap/delta resident in VMEM, which caps it near
+    ~256^2; past that, the XLA path streams every one of its ~18 loop
+    fusions over HBM (4096^2 image_warping measured 13.6 ms/PCG
+    iteration -- ~7x the HBM roofline, each fusion a full-vector pass).
+    Here the state vectors ALSO live in HBM (workspace outputs in ANY
+    memory) and every sweep DMAs row-tile windows through small VMEM
+    buffers, so one PCG iteration costs three streamed passes:
+
+      sweep1  read  [x|consts|sqp] + p windows; write Ap      (JtJp)
+      sweep2  read  p, r, Ap, delta; write r, delta           (axpys, bn)
+      sweep3  read  r, p; write p                             (beta step)
+
+    All same-role planes are STACKED along a leading axis so each group
+    moves in ONE strided DMA (a v1 with per-plane copies measured
+    DMA-issue-bound: ~28 copies per sweep-1 tile put it only at parity
+    with XLA at 4096^2).  Same hat-space math and masking as
+    StreamSolver (see module docstring); GN only.  Reference role: the
+    hand-written large-grid CUDA solvers (examples/image_warping/src/,
+    PatchSolverWarping.cu).
+    """
+
+    STATE_IN = "hbm"
+
+    def __init__(self, plan, tile=16):
+        super().__init__(plan, tile)
+        # plane order inside the stacked `ins` array
+        self.in_planes = (
+            [("x", n, c) for n in self.unknown_names
+             for c in range(self.chans[n])]
+            + [("c", n, c) for n in self.const_names
+               for c in range(self.chans[n])]
+            + [("sq", k, 0) for k in range(
+                sum(self.chans[n] for n in self.unknown_names))]
+        )
+
+    def _build_kernel(self, n_lin, interpret):
+        T, h, H, W = self.tile, self.h, self.H, self.W
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        tf = self.tfuncs
+        n_tiles = self.n_tiles
+        nU = sum(chans[n] for n in un)
+        nC = sum(chans[n] for n in cn)
+        nIn = nU + nC + nU
+
+        def kernel(ins_any, r0_any, pref, d_any, p_any, r_any, ap_any,
+                   insw, pw, sem):
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+
+            # (nU, T, W) tile stages ALIAS the window buffers' head rows
+            # (windows and stages are never live at the same time):
+            # stage 0..2 -> insw plane-groups, stage 3 -> pw
+            def st_ref(j):
+                if j == 3:
+                    return pw.at[:, pl.ds(0, T)]
+                return insw.at[pl.ds(j * nU, nU), pl.ds(0, T)]
+
+            def st_get(j):
+                if j == 3:
+                    return pw[:, 0:T]
+                return insw[j * nU:(j + 1) * nU, 0:T]
+
+            def st_set(j, v):
+                if j == 3:
+                    pw[:, pl.ds(0, T)] = v
+                else:
+                    insw[pl.ds(j * nU, nU), pl.ds(0, T)] = v
+
+            def rd_ins(t0):
+                cp = pltpu.make_async_copy(
+                    ins_any.at[:, pl.ds(t0, T + 2 * h)], insw, sem)
+                cp.start()
+                return cp
+
+            def rd_pwin(t0):
+                cp = pltpu.make_async_copy(
+                    p_any.at[:, pl.ds(t0, T + 2 * h)], pw, sem)
+                cp.start()
+                return cp
+
+            def trd(any_ref, j, start):
+                cp = pltpu.make_async_copy(
+                    any_ref.at[:, pl.ds(start, T)],
+                    st_ref(j), sem)
+                cp.start()
+                return cp
+
+            def twr(j, any_ref, start):
+                cp = pltpu.make_async_copy(
+                    st_ref(j), any_ref.at[:, pl.ds(start, T)], sem)
+                cp.start()
+                return cp
+
+            # ---- init: delta = 0, r = r0_hat, p = [0 | r0_hat | 0] ----
+            st_set(0, jnp.zeros((nU, T, W), jnp.float32))
+
+            def zero_tile(t, _):
+                twr(0, d_any, t * T).wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, zero_tile, 0)
+            # zero the p halo rows (st[0] is still all-zero)
+            cp = pltpu.make_async_copy(
+                insw.at[pl.ds(0, nU), pl.ds(0, h)],
+                p_any.at[:, pl.ds(0, h)], sem)
+            cp.start(); cp.wait()
+            cp = pltpu.make_async_copy(
+                insw.at[pl.ds(0, nU), pl.ds(0, h)],
+                p_any.at[:, pl.ds(H + h, h)], sem)
+            cp.start(); cp.wait()
+
+            def init_tile(t, an):
+                t0 = t * T
+                trd(r0_any, 3, t0).wait()
+                v = st_get(3)
+                an = an + jnp.sum(v * v)
+                c1 = twr(3, r_any, t0)
+                c2 = twr(3, p_any, t0 + h)
+                c1.wait(); c2.wait()
+                return an
+
+            an0 = jax.lax.fori_loop(0, n_tiles, init_tile, jnp.float32(0.0))
+
+            # ---- PCG sweeps ------------------------------------------
+            def sweep1(t, pap):
+                t0 = t * T
+                c1 = rd_ins(t0)
+                c2 = rd_pwin(t0)
+                c1.wait(); c2.wait()
+
+                j = 0
+                x_win = {}
+                for n in un:
+                    x_win[n] = [insw[j + c] for c in range(chans[n])]
+                    j += chans[n]
+                imgs = {}
+                for n in cn:
+                    imgs[n] = [insw[j + c] for c in range(chans[n])]
+                    j += chans[n]
+                sq_win = [insw[j + k] for k in range(nU)]
+                data_win = {
+                    "images": imgs,
+                    "params": params,
+                    "graph_indices": {},
+                }
+
+                pwv = [pw[k] for k in range(nU)]
+                k = 0
+                p_sc = {}
+                for n in un:
+                    pwn = []
+                    for c in range(chans[n]):
+                        pwn.append(sq_win[k] * pwv[k])
+                        k += 1
+                    p_sc[n] = pwn
+
+                tf.coord_offsets = (t0 - h, 0)
+                fn = lambda xx: tf.residuals_solve(xx, data_win)
+                _, jvp_fn = jax.linearize(fn, x_win)
+                jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                (grad,) = jt_fn(jvp_fn(p_sc))
+
+                aps = []
+                k = 0
+                for n in un:
+                    for c in range(chans[n]):
+                        ap = (
+                            sq_win[k][h : h + T]
+                            * grad[n][c][h : h + T]
+                        )
+                        pap = pap + jnp.sum(ap * pwv[k][h : h + T])
+                        aps.append(ap)
+                        k += 1
+                st_set(2, jnp.stack(aps))
+                twr(2, ap_any, t0).wait()
+                return pap
+
+            def body(carry):
+                it, an = carry
+                pap = jax.lax.fori_loop(
+                    0, n_tiles, sweep1, jnp.float32(0.0))
+                alpha = jnp.where(pap != 0.0, an / jnp.where(
+                    pap != 0.0, pap, 1.0), 0.0)
+
+                def upd(t, bn):
+                    t0 = t * T
+                    cps = [trd(d_any, 0, t0), trd(r_any, 1, t0),
+                           trd(ap_any, 2, t0), trd(p_any, 3, t0 + h)]
+                    for cp in cps:
+                        cp.wait()
+                    st_set(0, st_get(0) + alpha * st_get(3))
+                    rv = st_get(1) - alpha * st_get(2)
+                    st_set(1, rv)
+                    bn = bn + jnp.sum(rv * rv)
+                    c1 = twr(0, d_any, t0)
+                    c2 = twr(1, r_any, t0)
+                    c1.wait(); c2.wait()
+                    return bn
+
+                bn = jax.lax.fori_loop(0, n_tiles, upd, jnp.float32(0.0))
+                beta = jnp.where(an != 0.0, bn / jnp.where(
+                    an != 0.0, an, 1.0), 0.0)
+
+                def upd_p(t, _):
+                    t0 = t * T
+                    cps = [trd(r_any, 1, t0), trd(p_any, 3, t0 + h)]
+                    for cp in cps:
+                        cp.wait()
+                    st_set(3, st_get(1) + beta * st_get(3))
+                    twr(3, p_any, t0 + h).wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, upd_p, 0)
+                return it + 1, bn
+
+            jax.lax.while_loop(
+                lambda c: c[0] < n_lin, body, (jnp.int32(0), an0)
+            )
+
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        win = T + 2 * h
+        scratch = [
+            pltpu.VMEM((nIn, win, W), jnp.float32),      # input windows
+            pltpu.VMEM((nU, win, W), jnp.float32),       # p windows
+            pltpu.SemaphoreType.DMA,
+        ]
+        out_shapes = (
+            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),          # delta
+            jax.ShapeDtypeStruct((nU, H + 2 * h, W), jnp.float32),  # p ws
+            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),          # r ws
+            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),          # Ap ws
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec, any_spec, sspec],
+            out_specs=(any_spec,) * 4,
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )
+
+    def _whole_solve(self, n_outer, n_lin, interpret):
+        plan = self.plan
+        funcs = plan.funcs
+        un, cn = self.unknown_names, self.const_names
+        chans = self.chans
+        h, H, W = self.h, self.H, self.W
+        kern = self._build_kernel(n_lin, interpret)
+        ginv = functools.partial(
+            guarded_invert, kind=plan.config.guarded_invert_type,
+            dtype=funcs.dtype,
+        )
+
+        def pad_plane(a):
+            return jnp.pad(a, ((h, h), (0, 0)))
+
+        def planes(arr):
+            return [arr[..., c] for c in range(arr.shape[-1])]
+
+        def outer_step(x, data, pvals):
+            masks = funcs.unknown_masks(x, data)
+            r0, jvp_fn, jt_fn = funcs.linearize(x, data)
+            neg_jtf = tmap(lambda v: -v, funcs.jtf(r0, jt_fn))
+            diag = funcs.diag_jtj(x, data)
+            if funcs.use_preconditioner:
+                pre = tmap(ginv, diag)
+            else:
+                pre = tmap(jnp.ones_like, diag)
+            sq = {}
+            for n in un:
+                s = jnp.sqrt(pre[n])
+                m = masks[n]
+                if m is not None:
+                    s = jnp.where(m, 0.0, s)
+                sq[n] = s
+            r0_hat = {n: sq[n] * neg_jtf[n] for n in un}
+
+            stack = []
+            for n in un:
+                stack += [pad_plane(p) for p in planes(x[n])]
+            for n in cn:
+                stack += [pad_plane(p) for p in planes(data["images"][n])]
+            for n in un:
+                stack += [pad_plane(p) for p in planes(sq[n])]
+            ins = jnp.stack(stack)
+            r0s = jnp.stack(
+                [p for n in un for p in planes(r0_hat[n])]
+            )
+            d_hat, _, _, _ = kern(ins, r0s, pvals)
+
+            k = 0
+            x_new = {}
+            for n in un:
+                c = chans[n]
+                d = jnp.stack([d_hat[k + j] for j in range(c)], axis=-1)
+                k += c
+                x_new[n] = x[n] + sq[n] * d
+            new_cost = funcs.cost(x_new, data)
+            return x_new, new_cost
+
+        def whole(x, data, pvals):
+            cost0 = funcs.cost(x, data)
+
+            def body(i, carry):
+                x, _ = carry
+                return outer_step(x, data, pvals)
+
+            x_fin, cost = jax.lax.fori_loop(
+                0, n_outer, body, (x, cost0)
+            )
+            return x_fin, cost
+
+        return whole

@@ -662,13 +662,21 @@ class Plan:
 
         engine="vmem" runs the entire solve inside one Pallas kernel with
         all state VMEM-resident (opt_tpu/ops/vmem_solver.py) -- fastest
-        for grid problems that fit on-chip; falls back to "xla" when
-        unsupported."""
-        if engine == "vmem":
-            from ..ops import vmem_solver
+        for grid problems that fit on-chip; engine="stream_hbm" runs the
+        fully-streamed tiled PCG engine for larger-than-VMEM grids
+        (opt_tpu/ops/stream_solver.StreamSolverHBM).  Both fall back to
+        "xla" when unsupported."""
+        if engine in ("vmem", "stream_hbm"):
+            from ..ops import stream_solver, vmem_solver
 
-            if vmem_solver.supports(self):
+            vs = None
+            if engine == "vmem" and vmem_solver.supports(self):
                 vs = vmem_solver.VmemSolver(self)
+            elif engine == "stream_hbm" and stream_solver.supports(
+                self, tile=16, state_in="hbm"
+            ):
+                vs = stream_solver.StreamSolverHBM(self, tile=16)
+            if vs is not None:
                 out = vs.solve(inputs)
                 _, self._data = self.bind(inputs)
                 self._state = {

@@ -76,6 +76,44 @@ def test_stream_matches_xla(energy, inputs_fn):
         )
 
 
+@pytest.mark.parametrize(
+    "energy,inputs_fn",
+    [
+        (energies.image_warping, _warp_inputs),
+        (energies.poisson_image_editing, _poisson_inputs),
+    ],
+    ids=["image_warping", "poisson_exclude"],
+)
+def test_stream_hbm_matches_xla(energy, inputs_fn):
+    """Fully-streamed (HBM-state) variant: same parity contract."""
+    W, H = 128, 64
+    inputs = inputs_fn(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energy, "gaussNewtonGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 15)
+    assert ssv.supports(plan, tile=8, state_in="hbm")
+    ref_cost, x_ref = _xla_cost(plan, inputs, 3)
+    out = ssv.StreamSolverHBM(plan).solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+    for n in x_ref:
+        np.testing.assert_allclose(
+            np.asarray(out["x"][n]), np.asarray(x_ref[n]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_stream_hbm_supports_big():
+    """HBM-state mode admits sizes the resident-state mode rejects."""
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [4096, 4096])
+    assert not ssv.supports(plan)
+    assert ssv.supports(plan, tile=8, state_in="hbm")
+
+
 def test_supports_rejects():
     state = opt_tpu.NewState()
     # LM rejected
