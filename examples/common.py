@@ -231,19 +231,25 @@ class CombinedSolver:
         if p.useCUDA:
             # hand-optimized solver slot ("CUDA" in the reference,
             # CombinedSolverBase.h:67-81): the whole-solve-in-VMEM Pallas
-            # engine, if the problem fits
-            from opt_tpu.ops import vmem_solver
+            # engine if the problem fits on-chip, else the fully-streamed
+            # HBM-state engine for larger-than-VMEM grids
+            from opt_tpu.ops import stream_solver, vmem_solver
 
             problem = self.state.problem_define(energy, "gaussNewtonGPU")
             plan = self.state.problem_plan(problem, dims)
             if vmem_solver.supports(plan):
                 self.m_solverInfo.append(
                     {"plan": plan, "name": "Pallas(VMEM)", "iters": [],
-                     "pallas": True}
+                     "pallas": "vmem"}
+                )
+            elif stream_solver.supports(plan, tile=16, state_in="hbm"):
+                self.m_solverInfo.append(
+                    {"plan": plan, "name": "Pallas(StreamHBM)",
+                     "iters": [], "pallas": "stream_hbm"}
                 )
             else:
-                print("Pallas(VMEM): problem not eligible (graph domain, "
-                      "<2D grid, or exceeds the VMEM budget); skipping "
+                print("Pallas: problem not eligible (graph domain, "
+                      "<2D grid, LM, or unaligned sizes); skipping "
                       "the hand-optimized solver")
         if p.useCeres:
             # outside baseline in the Ceres role (CeresSolverBase parity):
@@ -307,12 +313,17 @@ class CombinedSolver:
         for k, v in self.m_solverParams.items():
             plan.set_solver_parameter(k, v)
         if s.get("pallas"):
-            from opt_tpu.ops.vmem_solver import VmemSolver
+            if "engine" not in s:
+                if s["pallas"] == "stream_hbm":
+                    from opt_tpu.ops.stream_solver import StreamSolverHBM
 
-            if "vmem" not in s:
-                s["vmem"] = VmemSolver(plan)
+                    s["engine"] = StreamSolverHBM(plan, tile=16)
+                else:
+                    from opt_tpu.ops.vmem_solver import VmemSolver
+
+                    s["engine"] = VmemSolver(plan)
             t0 = time.perf_counter()
-            out = s["vmem"].solve(self.m_problemParams)
+            out = s["engine"].solve(self.m_problemParams)
             ms = (time.perf_counter() - t0) * 1e3
             s["iters"].append(SolverIteration(out["final_cost"], ms))
             s["final_cost"] = self.final_cost = out["final_cost"]
