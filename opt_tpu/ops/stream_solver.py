@@ -130,18 +130,27 @@ def supports(plan, tile=32, state_in="vmem"):
         if nC < nU:
             return False
     est = _estimate_vmem(plan, tile, h, H, W, state_in=state_in)
-    return est <= VMEM_BUDGET_BYTES
+    budget = (HBM_VMEM_BUDGET_BYTES if state_in == "hbm"
+              else VMEM_BUDGET_BYTES)
+    return est <= budget
 
 
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 TEMP_PLANES_FACTOR = 4
+# HBM-state engine: temps live only inside sweep1's windowed linearize;
+# factor calibrated against the measured Mosaic compile boundary on v5e
+# (4096^2: unfused T=16 compiles, fused T=16 and unfused T=32 do not;
+# 2048^2 fused T=32 and 4096^2 fused T=8 compile)
+HBM_TEMP_PLANES_FACTOR = 1.6
+HBM_VMEM_BUDGET_BYTES = 16 * 1024 * 1024
 
 
 def _roundup(v, m):
     return ((v + m - 1) // m) * m
 
 
-def _estimate_vmem(plan, tile, h, H, W, state_in="vmem"):
+def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
+                   fuse_beta=False):
     """Resident state + windows + a temp model (factor per residual
     channel on the window shape, as calibrated for the VMEM engine).
     state_in='hbm': the state vectors are streamed, so only their
@@ -162,8 +171,10 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem"):
         # so half the whole-solve calibration factor (a v1 kernel with
         # MORE buffers compiled and ran at 4096^2/T=16 where factor 4
         # would have predicted 21 MB).
-        state = nU * win_rows * W * 4
-        temps = (TEMP_PLANES_FACTOR // 2) * n_res * win_rows * W * 4
+        state = nU * win_rows * W * 4          # p windows
+        if fuse_beta:
+            state += nU * win_rows * W * 4     # r windows
+        temps = int(HBM_TEMP_PLANES_FACTOR * n_res * win_rows * W * 4)
     else:
         state = nU * ((H + 2 * h) + 3 * H) * W * 4      # p, r, Ap, delta
         temps = TEMP_PLANES_FACTOR * n_res * win_rows * W * 4
@@ -556,8 +567,38 @@ class StreamSolverHBM(StreamSolver):
 
     STATE_IN = "hbm"
 
-    def __init__(self, plan, tile=16):
-        super().__init__(plan, tile)
+    def __init__(self, plan, tile=None):
+        """tile: maximum row-tile height (None = 32); the constructor
+        picks the largest feasible T <= tile and whether to fuse the
+        beta-step (fusing saves a streamed pass but costs nU extra
+        r-window buffers; at VMEM-tight sizes a LARGER unfused tile
+        measured faster: 4096^2 T=16 unfused 10.4 s vs T=8 fused
+        12.6 s, while 2048^2 T=32 fused 2.36 s vs unfused 2.45 s)."""
+        max_tile = tile or 32
+        funcs = plan.funcs
+        shape = next(iter(plan.spec.images.values())).ispace.shape
+        H, W = shape
+        r = _stencil_radius_axis0(plan.spec)
+        h = _roundup(max(2 * r, 1), SUBLANE)
+
+        def best_tile(fuse):
+            t = max_tile
+            while t >= h:
+                if H % t == 0 and _estimate_vmem(
+                    plan, t, h, H, W, "hbm", fuse
+                ) <= HBM_VMEM_BUDGET_BYTES:
+                    return t
+                t -= SUBLANE
+            return None
+
+        tf_, tn = best_tile(True), best_tile(False)
+        if tf_ is not None and (tn is None or tf_ >= tn):
+            self.fuse_beta, pick = True, tf_
+        elif tn is not None:
+            self.fuse_beta, pick = False, tn
+        else:
+            self.fuse_beta, pick = False, h  # supports() will reject
+        super().__init__(plan, pick)
         # plane order inside the stacked `ins` array
         self.in_planes = (
             [("x", n, c) for n in self.unknown_names
@@ -577,10 +618,23 @@ class StreamSolverHBM(StreamSolver):
         nU = sum(chans[n] for n in un)
         nC = sum(chans[n] for n in cn)
         nIn = nU + nC + nU
+        fuse = self.fuse_beta
 
         def kernel(ins_any, r0_any, pref, d_any, p_any, r_any, ap_any,
-                   insw, pw, sem):
+                   insw, pw, *rest):
+            if fuse:
+                rw, sem = rest
+            else:
+                (sem,) = rest
+                rw = None
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
+
+            # p is DOUBLE-BUFFERED by iteration parity ((2*nU, H+2h, W)):
+            # the beta-step p_k = r_k + beta*p_{k-1} is fused into the
+            # JtJp sweep, which forms p_k on the window from the r and
+            # old-p windows and writes its center rows to the other slot
+            # -- one full streamed pass per iteration saved.  r is padded
+            # like p so its windows cover the halo rows with zeros.
 
             # (nU, T, W) tile stages ALIAS the window buffers' head rows
             # (windows and stages are never live at the same time):
@@ -601,21 +655,16 @@ class StreamSolverHBM(StreamSolver):
                 else:
                     insw[pl.ds(j * nU, nU), pl.ds(0, T)] = v
 
-            def rd_ins(t0):
-                cp = pltpu.make_async_copy(
-                    ins_any.at[:, pl.ds(t0, T + 2 * h)], insw, sem)
-                cp.start()
-                return cp
-
-            def rd_pwin(t0):
-                cp = pltpu.make_async_copy(
-                    p_any.at[:, pl.ds(t0, T + 2 * h)], pw, sem)
-                cp.start()
-                return cp
-
             def trd(any_ref, j, start):
                 cp = pltpu.make_async_copy(
                     any_ref.at[:, pl.ds(start, T)],
+                    st_ref(j), sem)
+                cp.start()
+                return cp
+
+            def trd2(any_ref, j, off, start):
+                cp = pltpu.make_async_copy(
+                    any_ref.at[pl.ds(off, nU), pl.ds(start, T)],
                     st_ref(j), sem)
                 cp.start()
                 return cp
@@ -626,101 +675,156 @@ class StreamSolverHBM(StreamSolver):
                 cp.start()
                 return cp
 
-            # ---- init: delta = 0, r = r0_hat, p = [0 | r0_hat | 0] ----
+            # ---- init: delta = 0, r = [0|r0_hat|0], p slots = 0 -------
             st_set(0, jnp.zeros((nU, T, W), jnp.float32))
 
             def zero_tile(t, _):
-                twr(0, d_any, t * T).wait()
+                t0 = t * T
+                c1 = twr(0, d_any, t0)
+                c1.wait()
                 return 0
 
             jax.lax.fori_loop(0, n_tiles, zero_tile, 0)
-            # zero the p halo rows (st[0] is still all-zero)
-            cp = pltpu.make_async_copy(
-                insw.at[pl.ds(0, nU), pl.ds(0, h)],
-                p_any.at[:, pl.ds(0, h)], sem)
-            cp.start(); cp.wait()
-            cp = pltpu.make_async_copy(
-                insw.at[pl.ds(0, nU), pl.ds(0, h)],
-                p_any.at[:, pl.ds(H + h, h)], sem)
-            cp.start(); cp.wait()
+
+            def zero_p(t, _):
+                t0 = t * T
+                for s in range(2 if fuse else 1):
+                    cp = pltpu.make_async_copy(
+                        st_ref(0),
+                        p_any.at[pl.ds(s * nU, nU),
+                                 pl.ds(t0 + h, T)], sem)
+                    cp.start(); cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, zero_p, 0)
+            # zero halo rows of p (both slots) and r
+            halo_tgts = [(p_any, 0), (r_any, 0)]
+            if fuse:
+                halo_tgts.insert(1, (p_any, nU))
+            for tgt, off in halo_tgts:
+                cp = pltpu.make_async_copy(
+                    insw.at[pl.ds(0, nU), pl.ds(0, h)],
+                    tgt.at[pl.ds(off, nU), pl.ds(0, h)], sem)
+                cp.start(); cp.wait()
+                cp = pltpu.make_async_copy(
+                    insw.at[pl.ds(0, nU), pl.ds(0, h)],
+                    tgt.at[pl.ds(off, nU), pl.ds(H + h, h)], sem)
+                cp.start(); cp.wait()
 
             def init_tile(t, an):
                 t0 = t * T
                 trd(r0_any, 3, t0).wait()
                 v = st_get(3)
                 an = an + jnp.sum(v * v)
-                c1 = twr(3, r_any, t0)
-                c2 = twr(3, p_any, t0 + h)
-                c1.wait(); c2.wait()
+                c1 = twr(3, r_any, t0 + h)
+                if not fuse:
+                    # unfused: p_0 = r_0 up front (fused forms it in
+                    # sweep1 with beta=0)
+                    c2 = twr(3, p_any, t0 + h)
+                    c2.wait()
+                c1.wait()
                 return an
 
             an0 = jax.lax.fori_loop(0, n_tiles, init_tile, jnp.float32(0.0))
 
-            # ---- PCG sweeps ------------------------------------------
-            def sweep1(t, pap):
-                t0 = t * T
-                c1 = rd_ins(t0)
-                c2 = rd_pwin(t0)
-                c1.wait(); c2.wait()
+            # ---- PCG loop: 2 streamed sweeps per iteration ------------
+            def sweep1(sl_new, beta):
+                """JtJp sweep.  Fused mode also forms p_new = r + beta *
+                p_old on the window and writes its center to slot
+                sl_new (saving the separate beta-step pass)."""
+                sl_old = (nU - sl_new) if fuse else 0
 
-                j = 0
-                x_win = {}
-                for n in un:
-                    x_win[n] = [insw[j + c] for c in range(chans[n])]
-                    j += chans[n]
-                imgs = {}
-                for n in cn:
-                    imgs[n] = [insw[j + c] for c in range(chans[n])]
-                    j += chans[n]
-                sq_win = [insw[j + k] for k in range(nU)]
-                data_win = {
-                    "images": imgs,
-                    "params": params,
-                    "graph_indices": {},
-                }
+                def tile(t, pap):
+                    t0 = t * T
+                    c1 = pltpu.make_async_copy(
+                        ins_any.at[:, pl.ds(t0, T + 2 * h)], insw, sem)
+                    c1.start()
+                    c2 = pltpu.make_async_copy(
+                        p_any.at[pl.ds(sl_old, nU),
+                                 pl.ds(t0, T + 2 * h)], pw, sem)
+                    c2.start()
+                    if fuse:
+                        c3 = pltpu.make_async_copy(
+                            r_any.at[:, pl.ds(t0, T + 2 * h)], rw, sem)
+                        c3.start()
+                        c3.wait()
+                    c1.wait(); c2.wait()
 
-                pwv = [pw[k] for k in range(nU)]
-                k = 0
-                p_sc = {}
-                for n in un:
-                    pwn = []
-                    for c in range(chans[n]):
-                        pwn.append(sq_win[k] * pwv[k])
-                        k += 1
-                    p_sc[n] = pwn
+                    if fuse:
+                        # p_new on the whole window
+                        pw[...] = rw[...] + beta * pw[...]
 
-                tf.coord_offsets = (t0 - h, 0)
-                fn = lambda xx: tf.residuals_solve(xx, data_win)
-                _, jvp_fn = jax.linearize(fn, x_win)
-                jt_fn = jax.linear_transpose(jvp_fn, x_win)
-                (grad,) = jt_fn(jvp_fn(p_sc))
+                    j = 0
+                    x_win = {}
+                    for n in un:
+                        x_win[n] = [insw[j + c] for c in range(chans[n])]
+                        j += chans[n]
+                    imgs = {}
+                    for n in cn:
+                        imgs[n] = [insw[j + c] for c in range(chans[n])]
+                        j += chans[n]
+                    sq_win = [insw[j + k] for k in range(nU)]
+                    data_win = {
+                        "images": imgs,
+                        "params": params,
+                        "graph_indices": {},
+                    }
 
-                aps = []
-                k = 0
-                for n in un:
-                    for c in range(chans[n]):
-                        ap = (
-                            sq_win[k][h : h + T]
-                            * grad[n][c][h : h + T]
-                        )
-                        pap = pap + jnp.sum(ap * pwv[k][h : h + T])
-                        aps.append(ap)
-                        k += 1
-                st_set(2, jnp.stack(aps))
-                twr(2, ap_any, t0).wait()
-                return pap
+                    pwv = [pw[k] for k in range(nU)]
+                    k = 0
+                    p_sc = {}
+                    for n in un:
+                        pwn = []
+                        for c in range(chans[n]):
+                            pwn.append(sq_win[k] * pwv[k])
+                            k += 1
+                        p_sc[n] = pwn
+
+                    tf.coord_offsets = (t0 - h, 0)
+                    fn = lambda xx: tf.residuals_solve(xx, data_win)
+                    _, jvp_fn = jax.linearize(fn, x_win)
+                    jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                    (grad,) = jt_fn(jvp_fn(p_sc))
+
+                    aps = []
+                    k = 0
+                    for n in un:
+                        for c in range(chans[n]):
+                            ap = (
+                                sq_win[k][h : h + T]
+                                * grad[n][c][h : h + T]
+                            )
+                            pap = pap + jnp.sum(ap * pwv[k][h : h + T])
+                            aps.append(ap)
+                            k += 1
+                    if fuse:
+                        # write p_new center to its slot before reusing
+                        # pw's head rows as the Ap stage
+                        cp = pltpu.make_async_copy(
+                            pw.at[:, pl.ds(h, T)],
+                            p_any.at[pl.ds(sl_new, nU),
+                                     pl.ds(t0 + h, T)], sem)
+                        cp.start(); cp.wait()
+                    st_set(3, jnp.stack(aps))
+                    twr(3, ap_any, t0).wait()
+                    return pap
+
+                return jax.lax.fori_loop(0, n_tiles, tile, jnp.float32(0.0))
 
             def body(carry):
-                it, an = carry
-                pap = jax.lax.fori_loop(
-                    0, n_tiles, sweep1, jnp.float32(0.0))
+                it, an, beta = carry
+                sl_new = (it % 2) * nU
+                pap = sweep1(sl_new, beta)
                 alpha = jnp.where(pap != 0.0, an / jnp.where(
                     pap != 0.0, pap, 1.0), 0.0)
 
                 def upd(t, bn):
                     t0 = t * T
-                    cps = [trd(d_any, 0, t0), trd(r_any, 1, t0),
-                           trd(ap_any, 2, t0), trd(p_any, 3, t0 + h)]
+                    cps = [trd(d_any, 0, t0),
+                           trd(r_any, 1, t0 + h),
+                           trd(ap_any, 2, t0),
+                           trd2(p_any, 3, sl_new if fuse else 0,
+                                t0 + h)]
                     for cp in cps:
                         cp.wait()
                     st_set(0, st_get(0) + alpha * st_get(3))
@@ -728,28 +832,31 @@ class StreamSolverHBM(StreamSolver):
                     st_set(1, rv)
                     bn = bn + jnp.sum(rv * rv)
                     c1 = twr(0, d_any, t0)
-                    c2 = twr(1, r_any, t0)
+                    c2 = twr(1, r_any, t0 + h)
                     c1.wait(); c2.wait()
                     return bn
 
                 bn = jax.lax.fori_loop(0, n_tiles, upd, jnp.float32(0.0))
-                beta = jnp.where(an != 0.0, bn / jnp.where(
+                beta_next = jnp.where(an != 0.0, bn / jnp.where(
                     an != 0.0, an, 1.0), 0.0)
 
-                def upd_p(t, _):
-                    t0 = t * T
-                    cps = [trd(r_any, 1, t0), trd(p_any, 3, t0 + h)]
-                    for cp in cps:
-                        cp.wait()
-                    st_set(3, st_get(1) + beta * st_get(3))
-                    twr(3, p_any, t0 + h).wait()
-                    return 0
+                if not fuse:
+                    def upd_p(t, _):
+                        t0 = t * T
+                        cps = [trd(r_any, 1, t0 + h),
+                               trd2(p_any, 3, 0, t0 + h)]
+                        for cp in cps:
+                            cp.wait()
+                        st_set(3, st_get(1) + beta_next * st_get(3))
+                        twr(3, p_any, t0 + h).wait()
+                        return 0
 
-                jax.lax.fori_loop(0, n_tiles, upd_p, 0)
-                return it + 1, bn
+                    jax.lax.fori_loop(0, n_tiles, upd_p, 0)
+                return it + 1, bn, beta_next
 
             jax.lax.while_loop(
-                lambda c: c[0] < n_lin, body, (jnp.int32(0), an0)
+                lambda c: c[0] < n_lin, body,
+                (jnp.int32(0), an0, jnp.float32(0.0)),
             )
 
         any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -758,13 +865,18 @@ class StreamSolverHBM(StreamSolver):
         scratch = [
             pltpu.VMEM((nIn, win, W), jnp.float32),      # input windows
             pltpu.VMEM((nU, win, W), jnp.float32),       # p windows
-            pltpu.SemaphoreType.DMA,
         ]
+        if fuse:
+            scratch.append(
+                pltpu.VMEM((nU, win, W), jnp.float32))   # r windows
+        scratch.append(pltpu.SemaphoreType.DMA)
+        n_pslots = 2 if fuse else 1
         out_shapes = (
-            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),          # delta
-            jax.ShapeDtypeStruct((nU, H + 2 * h, W), jnp.float32),  # p ws
-            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),          # r ws
-            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),          # Ap ws
+            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),            # delta
+            jax.ShapeDtypeStruct(
+                (n_pslots * nU, H + 2 * h, W), jnp.float32),          # p ws
+            jax.ShapeDtypeStruct((nU, H + 2 * h, W), jnp.float32),    # r ws
+            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),            # Ap ws
         )
         return pl.pallas_call(
             kernel,

@@ -76,6 +76,7 @@ def test_stream_matches_xla(energy, inputs_fn):
         )
 
 
+@pytest.mark.parametrize("fuse", [True, False], ids=["fused", "unfused"])
 @pytest.mark.parametrize(
     "energy,inputs_fn",
     [
@@ -84,8 +85,9 @@ def test_stream_matches_xla(energy, inputs_fn):
     ],
     ids=["image_warping", "poisson_exclude"],
 )
-def test_stream_hbm_matches_xla(energy, inputs_fn):
-    """Fully-streamed (HBM-state) variant: same parity contract."""
+def test_stream_hbm_matches_xla(energy, inputs_fn, fuse):
+    """Fully-streamed (HBM-state) variant: same parity contract, with
+    and without the fused beta-step."""
     W, H = 128, 64
     inputs = inputs_fn(W, H)
     state = opt_tpu.NewState()
@@ -95,7 +97,9 @@ def test_stream_hbm_matches_xla(energy, inputs_fn):
     plan.set_solver_parameter("lIterations", 15)
     assert ssv.supports(plan, tile=8, state_in="hbm")
     ref_cost, x_ref = _xla_cost(plan, inputs, 3)
-    out = ssv.StreamSolverHBM(plan).solve(inputs)
+    solver = ssv.StreamSolverHBM(plan)
+    solver.fuse_beta = fuse
+    out = solver.solve(inputs)
     assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
     for n in x_ref:
         np.testing.assert_allclose(
