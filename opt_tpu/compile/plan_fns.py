@@ -301,6 +301,11 @@ class ProblemFunctions:
                 return jnp.stack(fields)
 
             _, jvp_fn = jax.linearize(gfun, leaf_vals)
+            # NOTE: one sequential jvp per leaf beats a vmapped batch
+            # over basis tangents (measured on SFS 60x10 @ v5e: 72.7 ms
+            # sequential vs 92.0 batched) -- XLA folds the zero-tangent
+            # terms of each one-hot call, while the batched form pays
+            # stacked-basis materialization and batched layouts.
             D = []
             for i in range(len(leaves)):
                 tangents = tuple(
