@@ -87,8 +87,10 @@ def supports(plan, tile=32, state_in="vmem"):
 
     state_in='vmem' (StreamSolver) keeps the PCG state vectors resident;
     'hbm' (StreamSolverHBM) streams them too, so only window/tile
-    buffers count against VMEM and arbitrarily large grids qualify."""
-    if plan.config.uses_lambda:
+    buffers count against VMEM and arbitrarily large grids qualify.
+    'hbm' also supports LM (in-kernel Q/zeta exit + residual reset;
+    the trust region runs in solver/core via the pcg_backend hook)."""
+    if plan.config.uses_lambda and state_in != "hbm":
         return False
     if plan.funcs.dtype != jnp.float32:
         return False
@@ -174,6 +176,8 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
         state = nU * win_rows * W * 4          # p windows
         if fuse_beta:
             state += nU * win_rows * W * 4     # r windows
+        if plan.config.uses_lambda:
+            state += nU * win_rows * W * 4     # scs (sq^2*ctc) windows
         temps = int(HBM_TEMP_PLANES_FACTOR * n_res * win_rows * W * 4)
     else:
         state = nU * ((H + 2 * h) + 3 * H) * W * 4      # p, r, Ap, delta
@@ -609,7 +613,16 @@ class StreamSolverHBM(StreamSolver):
                 sum(self.chans[n] for n in self.unknown_names))]
         )
 
-    def _build_kernel(self, n_lin, interpret):
+    def _build_backend_kernel(self, interpret):
+        """The inner-PCG kernel behind SolverConfig.pcg_backend.
+
+        Solves  S (JtJ [+ CtC]) S d_hat = b_hat  entirely in-kernel with
+        the state vectors in HBM workspaces; LM mode (uses_lambda) adds
+        the scs = S^2*ctc diagonal term to the apply, the Q/zeta early
+        exit, and the exact residual recomputation every
+        residual_reset_period iterations (r = b - A*delta, via a second
+        apply sweep under lax.cond).  L / period / q_tol arrive as SMEM
+        scalars so set_solver_parameter stays live without a rebuild."""
         T, h, H, W = self.tile, self.h, self.H, self.W
         un, cn, pn = self.unknown_names, self.const_names, self.param_names
         chans = self.chans
@@ -617,28 +630,22 @@ class StreamSolverHBM(StreamSolver):
         n_tiles = self.n_tiles
         nU = sum(chans[n] for n in un)
         nC = sum(chans[n] for n in cn)
-        nIn = nU + nC + nU
+        lm = self.plan.config.uses_lambda
+        nIn = nU + nC + nU + (nU if lm else 0)
         fuse = self.fuse_beta
 
-        def kernel(ins_any, r0_any, pref, d_any, p_any, r_any, ap_any,
-                   insw, pw, *rest):
+        def kernel(ins_any, b_any, pref, ctl_i, ctl_f,
+                   d_any, p_any, r_any, ap_any, insw, pw, *rest):
             if fuse:
                 rw, sem = rest
             else:
                 (sem,) = rest
                 rw = None
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
+            L = ctl_i[0, 0]
+            period = ctl_i[1, 0]
+            q_tol = ctl_f[0, 0]
 
-            # p is DOUBLE-BUFFERED by iteration parity ((2*nU, H+2h, W)):
-            # the beta-step p_k = r_k + beta*p_{k-1} is fused into the
-            # JtJp sweep, which forms p_k on the window from the r and
-            # old-p windows and writes its center rows to the other slot
-            # -- one full streamed pass per iteration saved.  r is padded
-            # like p so its windows cover the halo rows with zeros.
-
-            # (nU, T, W) tile stages ALIAS the window buffers' head rows
-            # (windows and stages are never live at the same time):
-            # stage 0..2 -> insw plane-groups, stage 3 -> pw
             def st_ref(j):
                 if j == 3:
                     return pw.at[:, pl.ds(0, T)]
@@ -657,8 +664,7 @@ class StreamSolverHBM(StreamSolver):
 
             def trd(any_ref, j, start):
                 cp = pltpu.make_async_copy(
-                    any_ref.at[:, pl.ds(start, T)],
-                    st_ref(j), sem)
+                    any_ref.at[:, pl.ds(start, T)], st_ref(j), sem)
                 cp.start()
                 return cp
 
@@ -675,19 +681,12 @@ class StreamSolverHBM(StreamSolver):
                 cp.start()
                 return cp
 
-            # ---- init: delta = 0, r = [0|r0_hat|0], p slots = 0 -------
+            # ---- init: delta = 0, r = [0|b_hat|0], p slots zero/b ----
             st_set(0, jnp.zeros((nU, T, W), jnp.float32))
 
             def zero_tile(t, _):
                 t0 = t * T
-                c1 = twr(0, d_any, t0)
-                c1.wait()
-                return 0
-
-            jax.lax.fori_loop(0, n_tiles, zero_tile, 0)
-
-            def zero_p(t, _):
-                t0 = t * T
+                twr(0, d_any, t0 + h).wait()
                 for s in range(2 if fuse else 1):
                     cp = pltpu.make_async_copy(
                         st_ref(0),
@@ -696,11 +695,10 @@ class StreamSolverHBM(StreamSolver):
                     cp.start(); cp.wait()
                 return 0
 
-            jax.lax.fori_loop(0, n_tiles, zero_p, 0)
-            # zero halo rows of p (both slots) and r
-            halo_tgts = [(p_any, 0), (r_any, 0)]
+            jax.lax.fori_loop(0, n_tiles, zero_tile, 0)
+            halo_tgts = [(p_any, 0), (r_any, 0), (d_any, 0)]
             if fuse:
-                halo_tgts.insert(1, (p_any, nU))
+                halo_tgts.append((p_any, nU))
             for tgt, off in halo_tgts:
                 cp = pltpu.make_async_copy(
                     insw.at[pl.ds(0, nU), pl.ds(0, h)],
@@ -713,13 +711,11 @@ class StreamSolverHBM(StreamSolver):
 
             def init_tile(t, an):
                 t0 = t * T
-                trd(r0_any, 3, t0).wait()
+                trd(b_any, 3, t0).wait()
                 v = st_get(3)
                 an = an + jnp.sum(v * v)
                 c1 = twr(3, r_any, t0 + h)
                 if not fuse:
-                    # unfused: p_0 = r_0 up front (fused forms it in
-                    # sweep1 with beta=0)
                     c2 = twr(3, p_any, t0 + h)
                     c2.wait()
                 c1.wait()
@@ -727,31 +723,30 @@ class StreamSolverHBM(StreamSolver):
 
             an0 = jax.lax.fori_loop(0, n_tiles, init_tile, jnp.float32(0.0))
 
-            # ---- PCG loop: 2 streamed sweeps per iteration ------------
-            def sweep1(sl_new, beta):
-                """JtJp sweep.  Fused mode also forms p_new = r + beta *
-                p_old on the window and writes its center to slot
-                sl_new (saving the separate beta-step pass)."""
-                sl_old = (nU - sl_new) if fuse else 0
+            # ---- apply sweep: Ap (or A*delta) -------------------------
+            def apply_sweep(src_any, src_off, sl_new, beta, with_beta):
+                """One streamed pass computing A_hat * src into ap_any.
+                with_beta: also form p_new = r + beta*p_old on the window
+                (reading src as the OLD p slot) and write its center to
+                slot sl_new.  Returns sum(src_used * A src_used)."""
 
-                def tile(t, pap):
+                def tile(t, acc):
                     t0 = t * T
                     c1 = pltpu.make_async_copy(
                         ins_any.at[:, pl.ds(t0, T + 2 * h)], insw, sem)
                     c1.start()
                     c2 = pltpu.make_async_copy(
-                        p_any.at[pl.ds(sl_old, nU),
-                                 pl.ds(t0, T + 2 * h)], pw, sem)
+                        src_any.at[pl.ds(src_off, nU),
+                                   pl.ds(t0, T + 2 * h)], pw, sem)
                     c2.start()
-                    if fuse:
+                    if with_beta:
                         c3 = pltpu.make_async_copy(
                             r_any.at[:, pl.ds(t0, T + 2 * h)], rw, sem)
                         c3.start()
                         c3.wait()
                     c1.wait(); c2.wait()
 
-                    if fuse:
-                        # p_new on the whole window
+                    if with_beta:
                         pw[...] = rw[...] + beta * pw[...]
 
                     j = 0
@@ -764,6 +759,10 @@ class StreamSolverHBM(StreamSolver):
                         imgs[n] = [insw[j + c] for c in range(chans[n])]
                         j += chans[n]
                     sq_win = [insw[j + k] for k in range(nU)]
+                    j += nU
+                    scs_win = (
+                        [insw[j + k] for k in range(nU)] if lm else None
+                    )
                     data_win = {
                         "images": imgs,
                         "params": params,
@@ -794,12 +793,15 @@ class StreamSolverHBM(StreamSolver):
                                 sq_win[k][h : h + T]
                                 * grad[n][c][h : h + T]
                             )
-                            pap = pap + jnp.sum(ap * pwv[k][h : h + T])
+                            if lm:
+                                ap = ap + (
+                                    scs_win[k][h : h + T]
+                                    * pwv[k][h : h + T]
+                                )
+                            acc = acc + jnp.sum(ap * pwv[k][h : h + T])
                             aps.append(ap)
                             k += 1
-                    if fuse:
-                        # write p_new center to its slot before reusing
-                        # pw's head rows as the Ap stage
+                    if with_beta:
                         cp = pltpu.make_async_copy(
                             pw.at[:, pl.ds(h, T)],
                             p_any.at[pl.ds(sl_new, nU),
@@ -807,36 +809,84 @@ class StreamSolverHBM(StreamSolver):
                         cp.start(); cp.wait()
                     st_set(3, jnp.stack(aps))
                     twr(3, ap_any, t0).wait()
-                    return pap
+                    return acc
 
                 return jax.lax.fori_loop(0, n_tiles, tile, jnp.float32(0.0))
 
             def body(carry):
-                it, an, beta = carry
+                it, an, beta, Q0, brk = carry
                 sl_new = (it % 2) * nU
-                pap = sweep1(sl_new, beta)
+                sl_old = (nU - sl_new) if fuse else 0
+                if fuse:
+                    pap = apply_sweep(p_any, sl_old, sl_new, beta, True)
+                else:
+                    pap = apply_sweep(p_any, 0, 0, beta, False)
                 alpha = jnp.where(pap != 0.0, an / jnp.where(
                     pap != 0.0, pap, 1.0), 0.0)
+                p_slot = sl_new if fuse else 0
 
-                def upd(t, bn):
+                def upd(t, acc):
+                    bn, qd = acc
                     t0 = t * T
-                    cps = [trd(d_any, 0, t0),
+                    cps = [trd(d_any, 0, t0 + h),
                            trd(r_any, 1, t0 + h),
                            trd(ap_any, 2, t0),
-                           trd2(p_any, 3, sl_new if fuse else 0,
-                                t0 + h)]
+                           trd2(p_any, 3, p_slot, t0 + h)]
                     for cp in cps:
                         cp.wait()
-                    st_set(0, st_get(0) + alpha * st_get(3))
+                    dv = st_get(0) + alpha * st_get(3)
+                    st_set(0, dv)
                     rv = st_get(1) - alpha * st_get(2)
                     st_set(1, rv)
                     bn = bn + jnp.sum(rv * rv)
-                    c1 = twr(0, d_any, t0)
+                    c1 = twr(0, d_any, t0 + h)
                     c2 = twr(1, r_any, t0 + h)
                     c1.wait(); c2.wait()
-                    return bn
+                    if lm:
+                        # Q needs delta.(r + b); reuse stage 3 for b
+                        trd(b_any, 3, t0).wait()
+                        qd = qd + jnp.sum(dv * (rv + st_get(3)))
+                    return bn, qd
 
-                bn = jax.lax.fori_loop(0, n_tiles, upd, jnp.float32(0.0))
+                bn, qd = jax.lax.fori_loop(
+                    0, n_tiles, upd, (jnp.float32(0.0), jnp.float32(0.0)))
+
+                if lm:
+                    def reset_branch(_):
+                        # r = b - A delta, exactly (solver/core.py
+                        # reset_branch; solverGPUGaussNewton.t:2128-2139)
+                        apply_sweep(d_any, 0, 0, jnp.float32(0.0), False)
+
+                        def fix(t, acc):
+                            bn2, qd2 = acc
+                            t0 = t * T
+                            cps = [trd(b_any, 1, t0),
+                                   trd(ap_any, 2, t0),
+                                   trd(d_any, 0, t0 + h)]
+                            for cp in cps:
+                                cp.wait()
+                            bv = st_get(1)
+                            rv = bv - st_get(2)
+                            st_set(1, rv)
+                            twr(1, r_any, t0 + h).wait()
+                            bn2 = bn2 + jnp.sum(rv * rv)
+                            qd2 = qd2 + jnp.sum(st_get(0) * (rv + bv))
+                            return bn2, qd2
+
+                        return jax.lax.fori_loop(
+                            0, n_tiles, fix,
+                            (jnp.float32(0.0), jnp.float32(0.0)))
+
+                    do_reset = ((it + 1) % period) == 0
+                    bn, qd = jax.lax.cond(
+                        do_reset, reset_branch,
+                        lambda _: (bn, qd), None)
+                    Q1 = 0.5 * qd
+                    zeta = (it + 1).astype(jnp.float32) * jnp.where(
+                        Q1 != 0.0, (Q1 - Q0) / jnp.where(
+                            Q1 != 0.0, Q1, 1.0), 0.0)
+                    brk = zeta < q_tol
+                    Q0 = Q1
                 beta_next = jnp.where(an != 0.0, bn / jnp.where(
                     an != 0.0, an, 1.0), 0.0)
 
@@ -852,11 +902,12 @@ class StreamSolverHBM(StreamSolver):
                         return 0
 
                     jax.lax.fori_loop(0, n_tiles, upd_p, 0)
-                return it + 1, bn, beta_next
+                return it + 1, bn, beta_next, Q0, brk
 
             jax.lax.while_loop(
-                lambda c: c[0] < n_lin, body,
-                (jnp.int32(0), an0, jnp.float32(0.0)),
+                lambda c: (c[0] < L) & (~c[4]), body,
+                (jnp.int32(0), an0, jnp.float32(0.0), jnp.float32(0.0),
+                 jnp.asarray(False)),
             )
 
         any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -864,7 +915,7 @@ class StreamSolverHBM(StreamSolver):
         win = T + 2 * h
         scratch = [
             pltpu.VMEM((nIn, win, W), jnp.float32),      # input windows
-            pltpu.VMEM((nU, win, W), jnp.float32),       # p windows
+            pltpu.VMEM((nU, win, W), jnp.float32),       # p/src windows
         ]
         if fuse:
             scratch.append(
@@ -872,32 +923,35 @@ class StreamSolverHBM(StreamSolver):
         scratch.append(pltpu.SemaphoreType.DMA)
         n_pslots = 2 if fuse else 1
         out_shapes = (
-            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),            # delta
+            jax.ShapeDtypeStruct((nU, H + 2 * h, W), jnp.float32),   # delta
             jax.ShapeDtypeStruct(
-                (n_pslots * nU, H + 2 * h, W), jnp.float32),          # p ws
-            jax.ShapeDtypeStruct((nU, H + 2 * h, W), jnp.float32),    # r ws
-            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),            # Ap ws
+                (n_pslots * nU, H + 2 * h, W), jnp.float32),         # p ws
+            jax.ShapeDtypeStruct((nU, H + 2 * h, W), jnp.float32),   # r ws
+            jax.ShapeDtypeStruct((nU, H, W), jnp.float32),           # Ap ws
         )
         return pl.pallas_call(
             kernel,
-            in_specs=[any_spec, any_spec, sspec],
+            in_specs=[any_spec, any_spec, sspec, sspec, sspec],
             out_specs=(any_spec,) * 4,
             out_shape=out_shapes,
             scratch_shapes=scratch,
             interpret=interpret,
         )
 
-    def _whole_solve(self, n_outer, n_lin, interpret):
-        plan = self.plan
-        funcs = plan.funcs
+    # -- SolverConfig.pcg_backend hook -------------------------------------
+
+    def as_pcg_backend(self, interpret=None):
+        """Callable for SolverConfig.pcg_backend: solver/core's step_fn
+        delegates the inner PCG solve to the streamed kernel and keeps
+        every outer-iteration decision (GN/LM trust region, costs)."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kern = self._build_backend_kernel(interpret)
         un, cn = self.unknown_names, self.const_names
         chans = self.chans
-        h, H, W = self.h, self.H, self.W
-        kern = self._build_kernel(n_lin, interpret)
-        ginv = functools.partial(
-            guarded_invert, kind=plan.config.guarded_invert_type,
-            dtype=funcs.dtype,
-        )
+        h, H = self.h, self.H
+        pn = self.param_names
+        lm = self.plan.config.uses_lambda
 
         def pad_plane(a):
             return jnp.pad(a, ((h, h), (0, 0)))
@@ -905,24 +959,7 @@ class StreamSolverHBM(StreamSolver):
         def planes(arr):
             return [arr[..., c] for c in range(arr.shape[-1])]
 
-        def outer_step(x, data, pvals):
-            masks = funcs.unknown_masks(x, data)
-            r0, jvp_fn, jt_fn = funcs.linearize(x, data)
-            neg_jtf = tmap(lambda v: -v, funcs.jtf(r0, jt_fn))
-            diag = funcs.diag_jtj(x, data)
-            if funcs.use_preconditioner:
-                pre = tmap(ginv, diag)
-            else:
-                pre = tmap(jnp.ones_like, diag)
-            sq = {}
-            for n in un:
-                s = jnp.sqrt(pre[n])
-                m = masks[n]
-                if m is not None:
-                    s = jnp.where(m, 0.0, s)
-                sq[n] = s
-            r0_hat = {n: sq[n] * neg_jtf[n] for n in un}
-
+        def backend(x, data, sq, scs, b_hat, sp):
             stack = []
             for n in un:
                 stack += [pad_plane(p) for p in planes(x[n])]
@@ -930,32 +967,60 @@ class StreamSolverHBM(StreamSolver):
                 stack += [pad_plane(p) for p in planes(data["images"][n])]
             for n in un:
                 stack += [pad_plane(p) for p in planes(sq[n])]
+            if lm:
+                for n in un:
+                    stack += [pad_plane(p) for p in planes(scs[n])]
             ins = jnp.stack(stack)
-            r0s = jnp.stack(
-                [p for n in un for p in planes(r0_hat[n])]
-            )
-            d_hat, _, _, _ = kern(ins, r0s, pvals)
-
+            b = jnp.stack([p for n in un for p in planes(b_hat[n])])
+            pvals = jnp.stack(
+                [jnp.asarray(data["params"][n], jnp.float32)
+                 for n in pn]
+            ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
+            ctl_i = jnp.stack([
+                jnp.asarray(sp["lIterations"], jnp.int32),
+                jnp.asarray(sp["residual_reset_period"], jnp.int32),
+            ]).reshape(2, 1)
+            ctl_f = jnp.asarray(
+                sp["q_tolerance"], jnp.float32).reshape(1, 1)
+            d_pad, _, _, _ = kern(ins, b, pvals, ctl_i, ctl_f)
+            out = {}
             k = 0
-            x_new = {}
             for n in un:
                 c = chans[n]
-                d = jnp.stack([d_hat[k + j] for j in range(c)], axis=-1)
+                out[n] = jnp.stack(
+                    [d_pad[k + j][h : H + h] for j in range(c)], axis=-1
+                )
                 k += c
-                x_new[n] = x[n] + sq[n] * d
-            new_cost = funcs.cost(x_new, data)
-            return x_new, new_cost
+            return out
 
-        def whole(x, data, pvals):
-            cost0 = funcs.cost(x, data)
+        return backend
 
-            def body(i, carry):
-                x, _ = carry
-                return outer_step(x, data, pvals)
+    # -- harness-compatible whole solve ------------------------------------
 
-            x_fin, cost = jax.lax.fori_loop(
-                0, n_outer, body, (x, cost0)
+    def solve(self, inputs, interpret=None):
+        """Full solve through solver/core with the streamed inner loop
+        (GN and LM)."""
+        from ..solver.core import SolverConfig, make_solver
+
+        plan = self.plan
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        key = ("backend", interpret)
+        if key not in self._kern_cache:
+            base = plan.config
+            cfg = SolverConfig(
+                uses_lambda=base.uses_lambda,
+                guarded_invert_type=base.guarded_invert_type,
+                jacobi_scaling=base.jacobi_scaling,
+                pcg_variant="classic",
+                pcg_backend=self.as_pcg_backend(interpret),
             )
-            return x_fin, cost
-
-        return whole
+            fns = make_solver(plan.funcs, cfg)
+            self._kern_cache[key] = jax.jit(fns[4])
+        full = self._kern_cache[key]
+        x, data = plan.bind(inputs)
+        sp = plan._sp_device()
+        sp["nIterations"] = jnp.asarray(
+            int(plan.solver_params["nIterations"]), jnp.int32)
+        st = full(x, data, sp)
+        return {"x": st["x"], "final_cost": float(st["prev_cost"])}

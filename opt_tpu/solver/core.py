@@ -129,6 +129,7 @@ class SolverConfig:
         use_pallas_pcg=False,
         pcg_variant="classic",
         psum_axis=None,
+        pcg_backend=None,
     ):
         assert guarded_invert_type in GUARDED_INVERT_TYPES
         assert jacobi_scaling in JACOBI_SCALING_TYPES
@@ -140,6 +141,15 @@ class SolverConfig:
         self.use_pallas_pcg = use_pallas_pcg
         assert pcg_variant in ("classic", "pipelined")
         self.pcg_variant = pcg_variant
+        # optional replacement for the inner PCG loop: a callable
+        #   pcg_backend(x, data, sq, scs, b_hat, sp) -> delta_hat
+        # solving the symmetrically Jacobi-scaled system
+        #   S (JtJ [+ CtC]) S delta_hat = b_hat,  S = diag(sq)
+        # (scs = sq^2 * ctc for LM, None for GN; delta = sq * delta_hat).
+        # Used by the streamed Pallas engines (ops/stream_solver.py);
+        # every OUTER-iteration decision (trust region, accept/reject,
+        # cost bookkeeping) stays in this module.
+        self.pcg_backend = pcg_backend
         # mesh axis name for cross-device reductions: set by the explicit
         # shard_map halo path (parallel/halo.py) so the 5 PCG scalars and
         # the cost psum over the mesh (everything else stays local)
@@ -451,8 +461,22 @@ def make_solver(funcs, config: SolverConfig):
             def A(p):
                 return masks_apply(jtj_apply(p))
 
-        with scope("pcg_loop"):
-            delta = pcg_loop(A, pre, r, b, sp, masks_apply)
+        if config.pcg_backend is not None:
+            # streamed-kernel inner loop in the hat space (see
+            # SolverConfig.pcg_backend); pre is already mask-zeroed, so
+            # sq carries the exclusion semantics
+            sq = tmap(jnp.sqrt, pre)
+            scs = (
+                tmap(lambda s, c: s * s * c, sq, ctc)
+                if uses_lambda else None
+            )
+            b_hat = tmap(jnp.multiply, sq, b)
+            with scope("pcg_backend"):
+                d_hat = config.pcg_backend(x, data, sq, scs, b_hat, sp)
+            delta = tmap(jnp.multiply, sq, d_hat)
+        else:
+            with scope("pcg_loop"):
+                delta = pcg_loop(A, pre, r, b, sp, masks_apply)
 
         with scope("linear_update_and_cost"):
             x_new = tadd(x, masks_apply(delta))

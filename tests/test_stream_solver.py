@@ -108,6 +108,32 @@ def test_stream_hbm_matches_xla(energy, inputs_fn, fuse):
         )
 
 
+@pytest.mark.parametrize("fuse", [True, False], ids=["fused", "unfused"])
+def test_stream_hbm_lm_matches_xla(fuse):
+    """LM through the streamed backend: in-kernel Q/zeta exit and
+    residual reset, trust region in solver/core via pcg_backend."""
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 4)
+    plan.set_solver_parameter("lIterations", 15)
+    # exercise the in-kernel reset (period 10 < 15 linear iterations)
+    assert int(plan.solver_params["residual_reset_period"]) == 10
+    assert ssv.supports(plan, tile=8, state_in="hbm")
+    ref_cost, x_ref = _xla_cost(plan, inputs, 4)
+    solver = ssv.StreamSolverHBM(plan)
+    solver.fuse_beta = fuse
+    out = solver.solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+    for n in x_ref:
+        np.testing.assert_allclose(
+            np.asarray(out["x"][n]), np.asarray(x_ref[n]),
+            rtol=2e-3, atol=1e-4,
+        )
+
+
 def test_stream_hbm_supports_big():
     """HBM-state mode admits sizes the resident-state mode rejects."""
     state = opt_tpu.NewState()
