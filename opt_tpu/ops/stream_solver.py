@@ -564,9 +564,12 @@ class StreamSolverHBM(StreamSolver):
     moves in ONE strided DMA (a v1 with per-plane copies measured
     DMA-issue-bound: ~28 copies per sweep-1 tile put it only at parity
     with XLA at 4096^2).  Same hat-space math and masking as
-    StreamSolver (see module docstring); GN only.  Reference role: the
-    hand-written large-grid CUDA solvers (examples/image_warping/src/,
-    PatchSolverWarping.cu).
+    StreamSolver (see module docstring).  Runs as solver/core's
+    pcg_backend, so BOTH GN and LM work: the kernel adds the CtC
+    diagonal, the Q/zeta exit, and the periodic exact residual reset
+    in LM mode, while the trust region stays in core.  Reference role:
+    the hand-written large-grid CUDA solvers
+    (examples/image_warping/src/, PatchSolverWarping.cu).
     """
 
     STATE_IN = "hbm"
