@@ -317,7 +317,7 @@ class CombinedSolver:
                 if s["pallas"] == "stream_hbm":
                     from opt_tpu.ops.stream_solver import StreamSolverHBM
 
-                    s["engine"] = StreamSolverHBM(plan, tile=16)
+                    s["engine"] = StreamSolverHBM(plan)
                 else:
                     from opt_tpu.ops.vmem_solver import VmemSolver
 

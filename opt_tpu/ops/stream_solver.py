@@ -144,7 +144,10 @@ TEMP_PLANES_FACTOR = 4
 # (4096^2: unfused T=16 compiles, fused T=16 and unfused T=32 do not;
 # 2048^2 fused T=32 and 4096^2 fused T=8 compile)
 HBM_TEMP_PLANES_FACTOR = 1.6
-HBM_VMEM_BUDGET_BYTES = 16 * 1024 * 1024
+# raised Mosaic scoped-vmem limit (compiler_params vmem_limit_bytes);
+# the physical budget is far above the 16 MB default
+HBM_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+HBM_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def _roundup(v, m):
@@ -581,10 +584,12 @@ class StreamSolverHBM(StreamSolver):
         r-window buffers; at VMEM-tight sizes a LARGER unfused tile
         measured faster: 4096^2 T=16 unfused 10.4 s vs T=8 fused
         12.6 s, while 2048^2 T=32 fused 2.36 s vs unfused 2.45 s)."""
-        max_tile = tile or 32
         funcs = plan.funcs
         shape = next(iter(plan.spec.images.values())).ispace.shape
         H, W = shape
+        # measured optimum tracks a near-constant tile COUNT (~64):
+        # 1024/2048 -> T=32, 4096 -> T=64 (see docs/ROOFLINE.md)
+        max_tile = tile or max(32, _roundup(H // 64, SUBLANE))
         r = _stencil_radius_axis0(plan.spec)
         h = _roundup(max(2 * r, 1), SUBLANE)
 
@@ -938,6 +943,8 @@ class StreamSolverHBM(StreamSolver):
             out_specs=(any_spec,) * 4,
             out_shape=out_shapes,
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=HBM_VMEM_LIMIT_BYTES),
             interpret=interpret,
         )
 

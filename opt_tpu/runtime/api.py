@@ -675,7 +675,7 @@ class Plan:
             elif engine == "stream_hbm" and stream_solver.supports(
                 self, tile=16, state_in="hbm"
             ):
-                vs = stream_solver.StreamSolverHBM(self, tile=16)
+                vs = stream_solver.StreamSolverHBM(self)
             if vs is not None:
                 out = vs.solve(inputs)
                 _, self._data = self.bind(inputs)
