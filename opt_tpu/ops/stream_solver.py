@@ -611,15 +611,6 @@ class StreamSolverHBM(StreamSolver):
         else:
             self.fuse_beta, pick = False, h  # supports() will reject
         super().__init__(plan, pick)
-        # plane order inside the stacked `ins` array
-        self.in_planes = (
-            [("x", n, c) for n in self.unknown_names
-             for c in range(self.chans[n])]
-            + [("c", n, c) for n in self.const_names
-               for c in range(self.chans[n])]
-            + [("sq", k, 0) for k in range(
-                sum(self.chans[n] for n in self.unknown_names))]
-        )
 
     def _build_backend_kernel(self, interpret):
         """The inner-PCG kernel behind SolverConfig.pcg_backend.
