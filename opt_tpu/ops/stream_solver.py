@@ -171,21 +171,20 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
         len(g.exprs) for g in funcs.groups if g.kind == "centered"
     )
     if state_in == "hbm":
-        # only the p windows are extra; tile stages alias window heads.
-        # Evaluator temps live only inside sweep1's windowed linearize,
-        # so half the whole-solve calibration factor (a v1 kernel with
-        # MORE buffers compiled and ran at 4096^2/T=16 where factor 4
-        # would have predicted 21 MB).
-        state = nU * win_rows * W * 4          # p windows
+        # window buffers are DOUBLE-BUFFERED (pipelined apply sweep);
+        # tile stages alias window heads; temps calibrated against the
+        # measured Mosaic compile boundary
+        state = 2 * nU * win_rows * W * 4      # p windows (A+B)
         if fuse_beta:
-            state += nU * win_rows * W * 4     # r windows
+            state += 2 * nU * win_rows * W * 4  # r windows (A+B)
         if plan.config.uses_lambda:
-            state += nU * win_rows * W * 4     # scs (sq^2*ctc) windows
+            state += 2 * nU * win_rows * W * 4  # scs windows (A+B)
         temps = int(HBM_TEMP_PLANES_FACTOR * n_res * win_rows * W * 4)
+        windows = 2 * (nU * 2 + nC) * win_rows * W * 4   # ins (A+B)
     else:
         state = nU * ((H + 2 * h) + 3 * H) * W * 4      # p, r, Ap, delta
         temps = TEMP_PLANES_FACTOR * n_res * win_rows * W * 4
-    windows = (nU * 2 + nC) * win_rows * W * 4           # x, sqp, consts
+        windows = (nU * 2 + nC) * win_rows * W * 4       # x, sqp, consts
     return state + windows + temps
 
 
@@ -634,12 +633,13 @@ class StreamSolverHBM(StreamSolver):
         fuse = self.fuse_beta
 
         def kernel(ins_any, b_any, pref, ctl_i, ctl_f,
-                   d_any, p_any, r_any, ap_any, insw, pw, *rest):
+                   d_any, p_any, r_any, ap_any, insw, pw, insw2, pw2,
+                   *rest):
             if fuse:
-                rw, sem = rest
+                rw, rw2, sem, sem2 = rest
             else:
-                (sem,) = rest
-                rw = None
+                sem, sem2 = rest
+                rw = rw2 = None
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
             L = ctl_i[0, 0]
             period = ctl_i[1, 0]
@@ -723,44 +723,59 @@ class StreamSolverHBM(StreamSolver):
             an0 = jax.lax.fori_loop(0, n_tiles, init_tile, jnp.float32(0.0))
 
             # ---- apply sweep: Ap (or A*delta) -------------------------
+            WIN = T + 2 * h
+
             def apply_sweep(src_any, src_off, sl_new, beta, with_beta):
-                """One streamed pass computing A_hat * src into ap_any.
-                with_beta: also form p_new = r + beta*p_old on the window
-                (reading src as the OLD p slot) and write its center to
-                slot sl_new.  Returns sum(src_used * A src_used)."""
+                """One streamed pass computing A_hat * src into ap_any,
+                DOUBLE-BUFFERED: while one tile computes, the other
+                buffer set's window DMAs are in flight (the serial
+                wait->compute->wait version measured DMA-latency-bound).
+                with_beta: also form p_new = r + beta*p_old on the
+                window and write its center to slot sl_new.  Returns
+                sum(src_used * A src_used)."""
+                bufs = ((insw, pw, rw, sem), (insw2, pw2, rw2, sem2))
+                n_pairs = n_tiles // 2
 
-                def tile(t, acc):
-                    t0 = t * T
-                    c1 = pltpu.make_async_copy(
-                        ins_any.at[:, pl.ds(t0, T + 2 * h)], insw, sem)
-                    c1.start()
-                    c2 = pltpu.make_async_copy(
-                        src_any.at[pl.ds(src_off, nU),
-                                   pl.ds(t0, T + 2 * h)], pw, sem)
-                    c2.start()
+                def reads(b, t0):
+                    iw, pwx, rwx, sm = bufs[b]
+                    cps = [
+                        pltpu.make_async_copy(
+                            ins_any.at[:, pl.ds(t0, WIN)], iw, sm),
+                        pltpu.make_async_copy(
+                            src_any.at[pl.ds(src_off, nU),
+                                       pl.ds(t0, WIN)], pwx, sm),
+                    ]
                     if with_beta:
-                        c3 = pltpu.make_async_copy(
-                            r_any.at[:, pl.ds(t0, T + 2 * h)], rw, sem)
-                        c3.start()
-                        c3.wait()
-                    c1.wait(); c2.wait()
+                        cps.append(pltpu.make_async_copy(
+                            r_any.at[:, pl.ds(t0, WIN)], rwx, sm))
+                    return cps
 
+                def start_reads(b, t0):
+                    for cp in reads(b, t0):
+                        cp.start()
+
+                def wait_reads(b, t0):
+                    for cp in reads(b, t0):
+                        cp.wait()
+
+                def compute(b, t0, acc):
+                    iw, pwx, rwx, sm = bufs[b]
                     if with_beta:
-                        pw[...] = rw[...] + beta * pw[...]
+                        pwx[...] = rwx[...] + beta * pwx[...]
 
                     j = 0
                     x_win = {}
                     for n in un:
-                        x_win[n] = [insw[j + c] for c in range(chans[n])]
+                        x_win[n] = [iw[j + c] for c in range(chans[n])]
                         j += chans[n]
                     imgs = {}
                     for n in cn:
-                        imgs[n] = [insw[j + c] for c in range(chans[n])]
+                        imgs[n] = [iw[j + c] for c in range(chans[n])]
                         j += chans[n]
-                    sq_win = [insw[j + k] for k in range(nU)]
+                    sq_win = [iw[j + k] for k in range(nU)]
                     j += nU
                     scs_win = (
-                        [insw[j + k] for k in range(nU)] if lm else None
+                        [iw[j + k] for k in range(nU)] if lm else None
                     )
                     data_win = {
                         "images": imgs,
@@ -768,7 +783,7 @@ class StreamSolverHBM(StreamSolver):
                         "graph_indices": {},
                     }
 
-                    pwv = [pw[k] for k in range(nU)]
+                    pwv = [pwx[k] for k in range(nU)]
                     k = 0
                     p_sc = {}
                     for n in un:
@@ -802,15 +817,50 @@ class StreamSolverHBM(StreamSolver):
                             k += 1
                     if with_beta:
                         cp = pltpu.make_async_copy(
-                            pw.at[:, pl.ds(h, T)],
+                            pwx.at[:, pl.ds(h, T)],
                             p_any.at[pl.ds(sl_new, nU),
-                                     pl.ds(t0 + h, T)], sem)
+                                     pl.ds(t0 + h, T)], sm)
                         cp.start(); cp.wait()
-                    st_set(3, jnp.stack(aps))
-                    twr(3, ap_any, t0).wait()
+                    pwx[:, pl.ds(0, T)] = jnp.stack(aps)
+                    cp = pltpu.make_async_copy(
+                        pwx.at[:, pl.ds(0, T)],
+                        ap_any.at[:, pl.ds(t0, T)], sm)
+                    cp.start(); cp.wait()
                     return acc
 
-                return jax.lax.fori_loop(0, n_tiles, tile, jnp.float32(0.0))
+                if n_tiles % 2:
+                    # odd tile count: serial fallback
+                    def tile(t, acc):
+                        t0 = t * T
+                        start_reads(0, t0)
+                        wait_reads(0, t0)
+                        return compute(0, t0, acc)
+
+                    return jax.lax.fori_loop(
+                        0, n_tiles, tile, jnp.float32(0.0))
+
+                start_reads(0, 0)
+
+                def pair(k2, acc):
+                    tA = (2 * k2) * T
+                    tB = (2 * k2 + 1) * T
+                    start_reads(1, tB)
+                    wait_reads(0, tA)
+                    acc = compute(0, tA, acc)
+                    # prefetch the next pair's first tile; clamp the
+                    # PAIR INDEX (Mosaic cannot prove row offsets
+                    # divisible through a minimum, but idx * 2T it can)
+                    nk = jnp.minimum(k2 + 1, n_pairs - 1)
+                    start_reads(0, nk * (2 * T))
+                    wait_reads(1, tB)
+                    acc = compute(1, tB, acc)
+                    return acc
+
+                acc = jax.lax.fori_loop(
+                    0, n_pairs, pair, jnp.float32(0.0))
+                # the dangling final prefetch
+                wait_reads(0, (n_pairs - 1) * 2 * T)
+                return acc
 
             def body(carry):
                 it, an, beta, Q0, brk = carry
@@ -913,12 +963,17 @@ class StreamSolverHBM(StreamSolver):
         sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
         win = T + 2 * h
         scratch = [
-            pltpu.VMEM((nIn, win, W), jnp.float32),      # input windows
-            pltpu.VMEM((nU, win, W), jnp.float32),       # p/src windows
+            pltpu.VMEM((nIn, win, W), jnp.float32),      # input windows A
+            pltpu.VMEM((nU, win, W), jnp.float32),       # p/src windows A
+            pltpu.VMEM((nIn, win, W), jnp.float32),      # input windows B
+            pltpu.VMEM((nU, win, W), jnp.float32),       # p/src windows B
         ]
         if fuse:
             scratch.append(
-                pltpu.VMEM((nU, win, W), jnp.float32))   # r windows
+                pltpu.VMEM((nU, win, W), jnp.float32))   # r windows A
+            scratch.append(
+                pltpu.VMEM((nU, win, W), jnp.float32))   # r windows B
+        scratch.append(pltpu.SemaphoreType.DMA)
         scratch.append(pltpu.SemaphoreType.DMA)
         n_pslots = 2 if fuse else 1
         out_shapes = (
