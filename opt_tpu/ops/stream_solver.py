@@ -645,38 +645,55 @@ class StreamSolverHBM(StreamSolver):
             period = ctl_i[1, 0]
             q_tol = ctl_f[0, 0]
 
-            def st_ref(j):
+            # (nU, T, W) tile stages carved from the window buffers;
+            # b selects the A/B buffer set for double-buffered sweeps
+            # (stage 4 fits because supports() requires nC >= nU)
+            def st_ref(j, b=0):
+                iw = insw if b == 0 else insw2
+                pwx = pw if b == 0 else pw2
                 if j == 3:
-                    return pw.at[:, pl.ds(0, T)]
-                return insw.at[pl.ds(j * nU, nU), pl.ds(0, T)]
+                    return pwx.at[:, pl.ds(0, T)]
+                jj = 3 if j == 4 else j  # stage 3 lives in pw
+                return iw.at[pl.ds(jj * nU, nU), pl.ds(0, T)]
 
-            def st_get(j):
+            def st_get(j, b=0):
+                iw = insw if b == 0 else insw2
+                pwx = pw if b == 0 else pw2
                 if j == 3:
-                    return pw[:, 0:T]
-                return insw[j * nU:(j + 1) * nU, 0:T]
+                    return pwx[:, 0:T]
+                jj = 3 if j == 4 else j
+                return iw[jj * nU:(jj + 1) * nU, 0:T]
 
-            def st_set(j, v):
+            def st_set(j, v, b=0):
+                iw = insw if b == 0 else insw2
+                pwx = pw if b == 0 else pw2
                 if j == 3:
-                    pw[:, pl.ds(0, T)] = v
+                    pwx[:, pl.ds(0, T)] = v
                 else:
-                    insw[pl.ds(j * nU, nU), pl.ds(0, T)] = v
+                    jj = 3 if j == 4 else j
+                    iw[pl.ds(jj * nU, nU), pl.ds(0, T)] = v
 
-            def trd(any_ref, j, start):
+            def _sem(b):
+                return sem if b == 0 else sem2
+
+            def trd(any_ref, j, start, b=0):
                 cp = pltpu.make_async_copy(
-                    any_ref.at[:, pl.ds(start, T)], st_ref(j), sem)
+                    any_ref.at[:, pl.ds(start, T)], st_ref(j, b),
+                    _sem(b))
                 cp.start()
                 return cp
 
-            def trd2(any_ref, j, off, start):
+            def trd2(any_ref, j, off, start, b=0):
                 cp = pltpu.make_async_copy(
                     any_ref.at[pl.ds(off, nU), pl.ds(start, T)],
-                    st_ref(j), sem)
+                    st_ref(j, b), _sem(b))
                 cp.start()
                 return cp
 
-            def twr(j, any_ref, start):
+            def twr(j, any_ref, start, b=0):
                 cp = pltpu.make_async_copy(
-                    st_ref(j), any_ref.at[:, pl.ds(start, T)], sem)
+                    st_ref(j, b), any_ref.at[:, pl.ds(start, T)],
+                    _sem(b))
                 cp.start()
                 return cp
 
@@ -874,31 +891,82 @@ class StreamSolverHBM(StreamSolver):
                     pap != 0.0, pap, 1.0), 0.0)
                 p_slot = sl_new if fuse else 0
 
-                def upd(t, acc):
-                    bn, qd = acc
-                    t0 = t * T
-                    cps = [trd(d_any, 0, t0 + h),
-                           trd(r_any, 1, t0 + h),
-                           trd(ap_any, 2, t0),
-                           trd2(p_any, 3, p_slot, t0 + h)]
-                    for cp in cps:
+                def u_cps(b, t0):
+                    # UNSTARTED copy descriptors (started by u_start,
+                    # waited by reconstruction in u_wait)
+                    cps = [
+                        pltpu.make_async_copy(
+                            d_any.at[:, pl.ds(t0 + h, T)],
+                            st_ref(0, b), _sem(b)),
+                        pltpu.make_async_copy(
+                            r_any.at[:, pl.ds(t0 + h, T)],
+                            st_ref(1, b), _sem(b)),
+                        pltpu.make_async_copy(
+                            ap_any.at[:, pl.ds(t0, T)],
+                            st_ref(2, b), _sem(b)),
+                        pltpu.make_async_copy(
+                            p_any.at[pl.ds(p_slot, nU),
+                                     pl.ds(t0 + h, T)],
+                            st_ref(3, b), _sem(b)),
+                    ]
+                    if lm:
+                        cps.append(pltpu.make_async_copy(
+                            b_any.at[:, pl.ds(t0, T)],
+                            st_ref(4, b), _sem(b)))
+                    return cps
+
+                def u_start(b, t0):
+                    for cp in u_cps(b, t0):
+                        cp.start()
+
+                def u_wait(b, t0):
+                    for cp in u_cps(b, t0):
                         cp.wait()
-                    dv = st_get(0) + alpha * st_get(3)
-                    st_set(0, dv)
-                    rv = st_get(1) - alpha * st_get(2)
-                    st_set(1, rv)
+
+                def u_compute(b, t0, acc):
+                    bn, qd = acc
+                    dv = st_get(0, b) + alpha * st_get(3, b)
+                    st_set(0, dv, b)
+                    rv = st_get(1, b) - alpha * st_get(2, b)
+                    st_set(1, rv, b)
                     bn = bn + jnp.sum(rv * rv)
-                    c1 = twr(0, d_any, t0 + h)
-                    c2 = twr(1, r_any, t0 + h)
+                    c1 = twr(0, d_any, t0 + h, b)
+                    c2 = twr(1, r_any, t0 + h, b)
                     c1.wait(); c2.wait()
                     if lm:
-                        # Q needs delta.(r + b); reuse stage 3 for b
-                        trd(b_any, 3, t0).wait()
-                        qd = qd + jnp.sum(dv * (rv + st_get(3)))
+                        qd = qd + jnp.sum(dv * (rv + st_get(4, b)))
                     return bn, qd
 
-                bn, qd = jax.lax.fori_loop(
-                    0, n_tiles, upd, (jnp.float32(0.0), jnp.float32(0.0)))
+                if n_tiles % 2:
+                    def upd(t, acc):
+                        t0 = t * T
+                        u_start(0, t0)
+                        u_wait(0, t0)
+                        return u_compute(0, t0, acc)
+
+                    bn, qd = jax.lax.fori_loop(
+                        0, n_tiles, upd,
+                        (jnp.float32(0.0), jnp.float32(0.0)))
+                else:
+                    n_pairs2 = n_tiles // 2
+                    u_start(0, 0)  # prologue
+
+                    def u_pair(k2, acc):
+                        tA = (2 * k2) * T
+                        tB = (2 * k2 + 1) * T
+                        u_start(1, tB)
+                        u_wait(0, tA)
+                        acc = u_compute(0, tA, acc)
+                        nk = jnp.minimum(k2 + 1, n_pairs2 - 1)
+                        u_start(0, nk * (2 * T))
+                        u_wait(1, tB)
+                        acc = u_compute(1, tB, acc)
+                        return acc
+
+                    bn, qd = jax.lax.fori_loop(
+                        0, n_pairs2, u_pair,
+                        (jnp.float32(0.0), jnp.float32(0.0)))
+                    u_wait(0, (n_pairs2 - 1) * 2 * T)
 
                 if lm:
                     def reset_branch(_):
