@@ -242,15 +242,15 @@ class CombinedSolver:
                     {"plan": plan, "name": "Pallas(VMEM)", "iters": [],
                      "pallas": "vmem"}
                 )
-            elif stream_solver.supports(plan, tile=16, state_in="hbm"):
+            elif stream_solver.supports_hbm(plan):
                 self.m_solverInfo.append(
                     {"plan": plan, "name": "Pallas(StreamHBM)",
                      "iters": [], "pallas": "stream_hbm"}
                 )
             else:
                 print("Pallas: problem not eligible (graph domain, "
-                      "<2D grid, LM, or unaligned sizes); skipping "
-                      "the hand-optimized solver")
+                      "non-2D grid, sampled images, f64, or unaligned "
+                      "sizes); skipping the hand-optimized solver")
         if p.useCeres:
             # outside baseline in the Ceres role (CeresSolverBase parity):
             # generic scipy TRF/LSMR over the same residual program

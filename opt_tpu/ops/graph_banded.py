@@ -37,6 +37,8 @@ take/segment_sum -- 5.7x; gathers bit-exact vs jnp.take.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,6 +46,13 @@ from jax.custom_derivatives import linear_call
 
 LANE = 128
 SUBLANE = 8
+
+# env knobs read ONCE at import: a trace-time read would bake the value
+# into cached jitted programs, so later changes would be silently ignored
+# anyway (advisor r2) -- reading here makes that explicit and keeps
+# retraces of identical programs producing identical HLO
+_ONEHOT_TAG_MODE = os.environ.get("OPT_TPU_ONEHOT_TAG", "static")
+_ONEHOT_IMPL = os.environ.get("OPT_TPU_ONEHOT", "xla")
 
 
 def _roundup(v, m):
@@ -155,6 +164,15 @@ def plan_vertex_banding(graphs_np, n_verts, max_bandwidth=2048,
     def plan_for_perm(perm_, inv_, bw_, allow_window):
         plans_, total = {}, 0
         for gname, slots in graphs_np.items():
+            n_slots = len(slots)
+            n_e = len(next(iter(slots.values())))
+            # take/segment_sum cost of this graph in one-hot-equivalent
+            # units (the measured crossover): charged when the graph
+            # falls back, so RCM-vs-identity totals compare like for
+            # like even when each ordering bands a different subset
+            # (advisor r2: comparing banded-only work could prefer the
+            # ordering that simply banded fewer graphs)
+            take_work = MAX_ONEHOT_PER_EDGE * n_slots * n_e
             cands = []
             if allow_window and bw_ <= max_bandwidth and forced != "tiled":
                 vb_w = max(LANE, _roundup(max(bw_, 1), LANE))
@@ -168,14 +186,14 @@ def plan_vertex_banding(graphs_np, n_verts, max_bandwidth=2048,
                 if pt is not None:
                     cands.append((_onehot_work(pt), pt))
             if not cands:
+                total += take_work
                 continue
             work, best = min(cands, key=lambda c: c[0])
-            n_slots = len(slots)
-            n_e = len(next(iter(slots.values())))
             # beyond ~MAX_ONEHOT_PER_EDGE one-hot elements per
             # (edge, slot) the VPU generation cost crosses
             # take/segment_sum's ~4 ns/row; skip unless forced
-            if not force and work > MAX_ONEHOT_PER_EDGE * n_slots * n_e:
+            if not force and work > take_work:
+                total += take_work
                 continue
             plans_[gname] = best
             total += work
@@ -211,16 +229,34 @@ MAX_WINDOW_BLOCKS = 64
 MAX_ONEHOT_PER_EDGE = 2048
 
 
+# one-hot-equivalent cost units per COARSE window element of the tiled
+# layout's take'd K-block windows (per sweep direction).  One-hot
+# generation streams ~1.9 ps/elem; a window element is a multi-channel
+# f32 row-chunk materialized to HBM and read back (~10 ps x C~3-8 plus
+# the sparse-row take), so ~40 one-hot-equiv units each.  Calibrated
+# against the r2 boundary anchor (30k-vertex band-15 + chords, work/edge
+# 2097: forced tiled 2692 ms vs take 2274 ms -- the un-penalized model
+# called them equal; with eb~192 this term adds ~20%, matching).
+WINDOW_COST_PER_ELEM = 40
+
+
 def _onehot_work(p):
-    """One-hot elements generated per full gather+scatter sweep -- the
+    """One-hot-equivalent work units per full gather+scatter sweep -- the
     VPU-bound cost that dominates the engine (profiled: one-hot iota-
-    compare generation, not the MXU dot, bounds each fusion)."""
+    compare generation, not the MXU dot, bounds each fusion).  The tiled
+    layout additionally charges its coarse K-block window HBM traffic
+    (take + materialize + read-back, once per direction; slots share the
+    window via slots_gather), which the r2 model undercounted
+    (docs/ROUND3_TODO.md #6)."""
     n_slots = len(p.loc)
     if p.layout == "ell":
         window = 3 * p.vb
         return (n_slots - 1) * p.n_eblk * p.eb * window
     if p.layout == "tiled":
-        return n_slots * p.n_eblk * p.eb * p.wblk.shape[1] * p.vb
+        K = p.wblk.shape[1]
+        onehot = n_slots * p.n_eblk * p.eb * K * p.vb
+        window = 2 * WINDOW_COST_PER_ELEM * p.n_eblk * K * p.vb
+        return onehot + window
     return n_slots * p.n_eblk * p.eb * 3 * p.vb
 
 
@@ -457,6 +493,15 @@ def _windows(pb):
 _ONEHOT_TAG = [0]
 
 
+def reset_onehot_tags():
+    """Reset the one-hot tag counter.  Called at the top of every
+    top-level traced solver program (runtime/api.py wraps the plan fns)
+    so identical programs trace to identical tag sequences -> identical
+    HLO, keeping XLA's persistent compilation cache effective (advisor
+    r2: an ever-advancing global counter made every retrace unique)."""
+    _ONEHOT_TAG[0] = 0
+
+
 def _next_tag(operand):
     """Tag making each one-hot generation structurally unique AND
     data-dependent on its dot's other operand.
@@ -469,14 +514,12 @@ def _next_tag(operand):
     iota-compare).  Comparing (loc - tag) == (iota - tag) is the same
     one-hot but a distinct expression; deriving tag from the operand
     (0 * operand[0,0] behind an optimization_barrier, so it cannot fold
-    to a shared constant) keeps it unique per invocation."""
-    import os
-
-    mode = os.environ.get("OPT_TPU_ONEHOT_TAG", "static")
-    if mode == "none":
+    to a shared constant) keeps it unique per invocation.  The counter
+    restarts per top-level trace (reset_onehot_tags)."""
+    if _ONEHOT_TAG_MODE == "none":
         return 0
     _ONEHOT_TAG[0] = (_ONEHOT_TAG[0] + 1) % 1024
-    if mode == "dynamic":
+    if _ONEHOT_TAG_MODE == "dynamic":
         first = operand.reshape(-1)[0]
         dyn = _BAR(first * 0).astype(jnp.int32)
         return _ONEHOT_TAG[0] + dyn
@@ -489,9 +532,7 @@ def _use_pallas_onehot():
     gather vs ~21 us for XLA's own fused iota-compare+dot once CSE
     materialization is defeated (_next_tag); kept as the measured record
     of the in-VMEM one-hot design."""
-    import os
-
-    return os.environ.get("OPT_TPU_ONEHOT", "xla") == "pallas"
+    return _ONEHOT_IMPL == "pallas"
 
 
 def _gather_impl(loc, values, *, vb, n_vblk, eb, n_verts):

@@ -137,6 +137,57 @@ def supports(plan, tile=32, state_in="vmem"):
     return est <= budget
 
 
+def _hbm_tile_search(plan, max_tile=None):
+    """(tile, fuse_beta) for StreamSolverHBM, or (None, False).
+
+    Divisor-aware: walks T down from the cap in SUBLANE steps keeping
+    H % T == 0 under the modeled VMEM budget, preferring the fused
+    beta-step when it does not force a smaller tile (measured: 4096^2
+    T=16 unfused 10.4 s vs T=8 fused 12.6 s; 2048^2 T=32 fused 2.36 s
+    vs unfused 2.45 s).  The cap tracks a near-constant tile COUNT ~64
+    (docs/ROOFLINE.md)."""
+    if not plan.spec.images or plan.spec.graphs:
+        return None, False
+    shape = next(iter(plan.spec.images.values())).ispace.shape
+    if len(shape) != 2:
+        return None, False
+    H, W = shape
+    cap = max_tile or max(32, _roundup(H // 64, SUBLANE))
+    r = _stencil_radius_axis0(plan.spec)
+    h = _roundup(max(2 * r, 1), SUBLANE)
+
+    def best_tile(fuse):
+        t = cap
+        while t >= h:
+            if H % t == 0 and _estimate_vmem(
+                plan, t, h, H, W, "hbm", fuse
+            ) <= HBM_VMEM_BUDGET_BYTES:
+                return t
+            t -= SUBLANE
+        return None
+
+    tf_, tn = best_tile(True), best_tile(False)
+    if tf_ is not None and (tn is None or tf_ >= tn):
+        return tf_, True
+    if tn is not None:
+        return tn, False
+    return None, False
+
+
+def supports_hbm(plan, max_tile=None):
+    """Eligibility for StreamSolverHBM with the constructor's own
+    divisor-aware tile search (advisor r2: a fixed tile=16 gate rejected
+    grids like H=1000 that have a valid smaller divisor tile)."""
+    t, _ = _hbm_tile_search(plan, max_tile)
+    return t is not None and supports(plan, t, "hbm")
+
+
+# pixel count above which Plan.solve(engine="auto") routes eligible grid
+# problems to StreamSolverHBM: calibrated on v5e (docs/ROOFLINE.md --
+# XLA keeps PCG carries (partly) VMEM-resident through 1024^2 and wins
+# there; the streamed engine wins from 2048^2 up)
+AUTO_STREAM_MIN_PIXELS = 2048 * 2048
+
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 TEMP_PLANES_FACTOR = 4
 # HBM-state engine: temps live only inside sweep1's windowed linearize;
@@ -583,32 +634,13 @@ class StreamSolverHBM(StreamSolver):
         r-window buffers; at VMEM-tight sizes a LARGER unfused tile
         measured faster: 4096^2 T=16 unfused 10.4 s vs T=8 fused
         12.6 s, while 2048^2 T=32 fused 2.36 s vs unfused 2.45 s)."""
-        funcs = plan.funcs
-        shape = next(iter(plan.spec.images.values())).ispace.shape
-        H, W = shape
-        # measured optimum tracks a near-constant tile COUNT (~64):
-        # 1024/2048 -> T=32, 4096 -> T=64 (see docs/ROOFLINE.md)
-        max_tile = tile or max(32, _roundup(H // 64, SUBLANE))
-        r = _stencil_radius_axis0(plan.spec)
-        h = _roundup(max(2 * r, 1), SUBLANE)
-
-        def best_tile(fuse):
-            t = max_tile
-            while t >= h:
-                if H % t == 0 and _estimate_vmem(
-                    plan, t, h, H, W, "hbm", fuse
-                ) <= HBM_VMEM_BUDGET_BYTES:
-                    return t
-                t -= SUBLANE
-            return None
-
-        tf_, tn = best_tile(True), best_tile(False)
-        if tf_ is not None and (tn is None or tf_ >= tn):
-            self.fuse_beta, pick = True, tf_
-        elif tn is not None:
-            self.fuse_beta, pick = False, tn
+        pick, fuse = _hbm_tile_search(plan, tile)
+        if pick is None:
+            self.fuse_beta = False
+            r = _stencil_radius_axis0(plan.spec)
+            pick = _roundup(max(2 * r, 1), SUBLANE)  # supports() rejects
         else:
-            self.fuse_beta, pick = False, h  # supports() will reject
+            self.fuse_beta = fuse
         super().__init__(plan, pick)
 
     def _build_backend_kernel(self, interpret):

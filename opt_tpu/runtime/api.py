@@ -266,6 +266,22 @@ class Plan:
             init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = (
                 make_solver(self.funcs, self.config)
             )
+        if self.spec.graphs:
+            # deterministic HLO: the banded engine's one-hot tag counter
+            # restarts at each top-level trace so identical programs
+            # retrace to identical HLO (persistent-cache friendly)
+            from ..ops.graph_banded import reset_onehot_tags
+
+            def _det(fn):
+                def wrapped(*a, **k):
+                    reset_onehot_tags()
+                    return fn(*a, **k)
+                return wrapped
+
+            init_fn, step_fn, cost_fn, solve_fn, full_solve_fn = (
+                _det(init_fn), _det(step_fn), _det(cost_fn),
+                _det(solve_fn), _det(full_solve_fn),
+            )
         # raw (unjitted) versions, e.g. for the driver's compile checks
         self.raw_init_fn = init_fn
         self.raw_step_fn = step_fn
@@ -514,6 +530,12 @@ class Plan:
         if (
             not slots_np
             or mode == "take"
+            # float64 graphs run the take/segment_sum path: the banded
+            # engine's split-bf16 one-hot dots reconstruct f32 exactly
+            # but not f64 (would need a 6-plane split and f64 MXU
+            # accumulation Mosaic lacks), so f64 keeps exact take
+            # semantics at ~7x the f32 banded cost at 10k-vertex scale
+            # (see docs/ARCHITECTURE.md, graph engine notes)
             or self.state.dtype != jnp.float32
             or cfg.use_materialized_jacobian
             or cfg.use_fused_jtj
@@ -654,7 +676,26 @@ class Plan:
 
     Step = step
 
-    def solve(self, inputs, on_device=True, engine="xla"):
+    def _pick_engine(self, engine):
+        """Resolve engine="auto" to the measured-best path for this plan:
+        grids past the XLA VMEM-carry regime (~>=2048^2 pixels,
+        docs/ROOFLINE.md) route to the streamed HBM engine when eligible;
+        everything else stays on the fused XLA program."""
+        if engine != "auto":
+            return engine
+        if self.spec.graphs or not self.spec.images:
+            return "xla"
+        shape = next(iter(self.spec.images.values())).ispace.shape
+        if len(shape) != 2:
+            return "xla"
+        from ..ops import stream_solver
+
+        if (shape[0] * shape[1] >= stream_solver.AUTO_STREAM_MIN_PIXELS
+                and stream_solver.supports_hbm(self)):
+            return "stream_hbm"
+        return "xla"
+
+    def solve(self, inputs, on_device=True, engine="auto"):
         """Opt_ProblemSolve: full solve.  on_device=True runs the whole
         outer loop inside one XLA program (no per-iteration host sync --
         the reference cannot do this; solverGPUGaussNewton.t syncs every
@@ -665,15 +706,18 @@ class Plan:
         for grid problems that fit on-chip; engine="stream_hbm" runs the
         fully-streamed tiled PCG engine for larger-than-VMEM grids
         (opt_tpu/ops/stream_solver.StreamSolverHBM).  Both fall back to
-        "xla" when unsupported."""
+        "xla" when unsupported.  The default "auto" picks stream_hbm for
+        eligible grids >= ~2048^2 pixels (where it measured 1.15-1.4x
+        over the XLA path on v5e) and "xla" otherwise."""
+        engine = self._pick_engine(engine)
         if engine in ("vmem", "stream_hbm"):
             from ..ops import stream_solver, vmem_solver
 
             vs = None
             if engine == "vmem" and vmem_solver.supports(self):
                 vs = vmem_solver.VmemSolver(self)
-            elif engine == "stream_hbm" and stream_solver.supports(
-                self, tile=16, state_in="hbm"
+            elif engine == "stream_hbm" and stream_solver.supports_hbm(
+                self
             ):
                 vs = stream_solver.StreamSolverHBM(self)
             if vs is not None:

@@ -144,6 +144,40 @@ def test_stream_hbm_supports_big():
     assert ssv.supports(plan, tile=8, state_in="hbm")
 
 
+def test_supports_hbm_divisor_aware():
+    """The HBM gate searches divisor tiles: H=1000 has no tile-16 fit
+    but T=8 divides it (advisor r2 finding)."""
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [128, 1000])
+    assert not ssv.supports(plan, tile=16, state_in="hbm")
+    assert ssv.supports_hbm(plan)
+    solver = ssv.StreamSolverHBM(plan)
+    assert 1000 % solver.tile == 0
+
+
+def test_auto_engine_selection():
+    """Plan.solve(engine='auto') routes >=2048^2 eligible grids to the
+    streamed HBM engine and leaves small grids / graphs on XLA."""
+    state = opt_tpu.NewState()
+    big = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [2048, 2048])
+    assert big._pick_engine("auto") == "stream_hbm"
+    small = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [128, 64])
+    assert small._pick_engine("auto") == "xla"
+    graph = state.problem_plan(
+        state.problem_define(energies.arap_mesh_deformation,
+                             "gaussNewtonGPU"), [64, 128])
+    assert graph._pick_engine("auto") == "xla"
+    # explicit choice passes through untouched
+    assert big._pick_engine("xla") == "xla"
+    assert small._pick_engine("vmem") == "vmem"
+
+
 def test_supports_rejects():
     state = opt_tpu.NewState()
     # LM rejected
