@@ -137,7 +137,7 @@ def supports(plan, tile=32, state_in="vmem"):
     return est <= budget
 
 
-def _hbm_tile_search(plan, max_tile=None):
+def _hbm_tile_search(plan, max_tile=None, variant="classic"):
     """(tile, fuse_beta) for StreamSolverHBM, or (None, False).
 
     Divisor-aware: walks T down from the cap in SUBLANE steps keeping
@@ -145,7 +145,8 @@ def _hbm_tile_search(plan, max_tile=None):
     beta-step when it does not force a smaller tile (measured: 4096^2
     T=16 unfused 10.4 s vs T=8 fused 12.6 s; 2048^2 T=32 fused 2.36 s
     vs unfused 2.45 s).  The cap tracks a near-constant tile COUNT ~64
-    (docs/ROOFLINE.md)."""
+    (docs/ROOFLINE.md).  variant='pipelined' sizes the one-sweep PCG
+    kernel (fuse_beta meaningless there, returned False)."""
     if not plan.spec.images or plan.spec.graphs:
         return None, False
     shape = next(iter(plan.spec.images.values())).ispace.shape
@@ -160,12 +161,14 @@ def _hbm_tile_search(plan, max_tile=None):
         t = cap
         while t >= h:
             if H % t == 0 and _estimate_vmem(
-                plan, t, h, H, W, "hbm", fuse
+                plan, t, h, H, W, "hbm", fuse, variant
             ) <= HBM_VMEM_BUDGET_BYTES:
                 return t
             t -= SUBLANE
         return None
 
+    if variant == "pipelined":
+        return best_tile(False), False
     tf_, tn = best_tile(True), best_tile(False)
     if tf_ is not None and (tn is None or tf_ >= tn):
         return tf_, True
@@ -206,11 +209,13 @@ def _roundup(v, m):
 
 
 def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
-                   fuse_beta=False):
+                   fuse_beta=False, variant="classic"):
     """Resident state + windows + a temp model (factor per residual
     channel on the window shape, as calibrated for the VMEM engine).
     state_in='hbm': the state vectors are streamed, so only their
-    window/tile buffers count."""
+    window/tile buffers count.  variant='pipelined' (GN-only one-sweep
+    PCG): per buffer set one ins window + one w window + the stacked
+    5-vector state tile."""
     funcs = plan.funcs
     nU = sum(s[-1] for s in funcs.unknown_shapes.values())
     nC = sum(
@@ -221,7 +226,12 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
     n_res = sum(
         len(g.exprs) for g in funcs.groups if g.kind == "centered"
     )
-    if state_in == "hbm":
+    if state_in == "hbm" and variant == "pipelined":
+        nIn = 2 * nU + nC                      # x | consts | sqp
+        windows = 2 * (nIn + nU) * win_rows * W * 4   # ins + w (A+B)
+        state = 2 * 5 * nU * tile * W * 4             # z/s/p/delta/r (A+B)
+        temps = int(HBM_TEMP_PLANES_FACTOR * n_res * win_rows * W * 4)
+    elif state_in == "hbm":
         # window buffers are DOUBLE-BUFFERED (pipelined apply sweep);
         # tile stages alias window heads; temps calibrated against the
         # measured Mosaic compile boundary
@@ -627,20 +637,42 @@ class StreamSolverHBM(StreamSolver):
 
     STATE_IN = "hbm"
 
-    def __init__(self, plan, tile=None):
-        """tile: maximum row-tile height (None = 32); the constructor
-        picks the largest feasible T <= tile and whether to fuse the
-        beta-step (fusing saves a streamed pass but costs nU extra
-        r-window buffers; at VMEM-tight sizes a LARGER unfused tile
-        measured faster: 4096^2 T=16 unfused 10.4 s vs T=8 fused
-        12.6 s, while 2048^2 T=32 fused 2.36 s vs unfused 2.45 s)."""
-        pick, fuse = _hbm_tile_search(plan, tile)
-        if pick is None:
+    def __init__(self, plan, tile=None, variant=None):
+        """tile: maximum row-tile height (None = auto cap); the
+        constructor picks the largest feasible T <= tile and, for the
+        classic variant, whether to fuse the beta-step (fusing saves a
+        streamed pass but costs nU extra r-window buffers; at VMEM-tight
+        sizes a LARGER unfused tile measured faster: 4096^2 T=16 unfused
+        10.4 s vs T=8 fused 12.6 s, while 2048^2 T=32 fused 2.36 s vs
+        unfused 2.45 s).
+
+        variant: 'pipelined' (GN default) runs the Ghysels-Vanroose
+        one-sweep PCG (one reduction barrier per iteration); 'classic'
+        the three-sweep loop (LM always classic: the Q/zeta exit and
+        residual reset are defined on it).  OPT_TPU_STREAM_VARIANT
+        overrides."""
+        import os
+
+        lm = plan.config.uses_lambda
+        want = variant or os.environ.get("OPT_TPU_STREAM_VARIANT", "auto")
+        pick = None
+        if not lm and want in ("auto", "pipelined"):
+            # GN default: the one-sweep pipelined-PCG kernel (one
+            # reduction barrier per iteration vs classic's two); falls
+            # back to classic when its larger buffer set finds no tile
+            pick, _ = _hbm_tile_search(plan, tile, variant="pipelined")
+        if pick is not None:
+            self.variant = "pipelined"
             self.fuse_beta = False
-            r = _stencil_radius_axis0(plan.spec)
-            pick = _roundup(max(2 * r, 1), SUBLANE)  # supports() rejects
         else:
-            self.fuse_beta = fuse
+            self.variant = "classic"
+            pick, fuse = _hbm_tile_search(plan, tile)
+            if pick is None:
+                self.fuse_beta = False
+                r = _stencil_radius_axis0(plan.spec)
+                pick = _roundup(max(2 * r, 1), SUBLANE)  # supports() rejects
+            else:
+                self.fuse_beta = fuse
         super().__init__(plan, pick)
 
     def _build_backend_kernel(self, interpret):
@@ -1094,14 +1126,341 @@ class StreamSolverHBM(StreamSolver):
             interpret=interpret,
         )
 
+    # -- pipelined (one-barrier) variant -----------------------------------
+
+    def _build_pipelined_kernel(self, interpret):
+        """One-sweep-per-iteration pipelined PCG (Ghysels & Vanroose
+        2014; the same recurrences as solver/core.pcg_pipelined) in the
+        hat space, where M = I makes u=r, q=s, m=w and the
+        preconditioner vanishes:
+
+            gamma_i = <r_i, r_i>,  dd_i = <w_i, r_i>   (both accumulated
+                                                        during sweep i-1)
+            n = A_hat w_i                              (the only apply)
+            z = n + beta z;   s = w + beta s;   p = r + beta p
+            delta += alpha p; r -= alpha s;     w -= alpha z
+
+        Classic PCG needs two reduction barriers per iteration (alpha
+        after the apply sweep, beta after the update sweep), forcing at
+        least two streamed passes; here BOTH dots depend only on the
+        previous sweep's outputs, so ONE double-buffered pass per
+        iteration reads [ins window | w window | stacked 5-vector state
+        tile] and writes the updated state + the ping-ponged w (w needs
+        an A/B slot pair: its halo rows are read by neighbouring tiles'
+        apply windows in the same sweep).  GN only -- LM's Q sequence
+        and residual reset are defined on the classic loop.  The
+        recurrences round differently from classic PCG; GN's outer
+        correction absorbs it (tests pin cost parity at rtol 1e-4).
+        Reference role: the hand-tuned large-grid CUDA solvers
+        (examples/image_warping/src/, PatchSolverWarping.cu)."""
+        T, h, H, W = self.tile, self.h, self.H, self.W
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        tf = self.tfuncs
+        n_tiles = self.n_tiles
+        nU = sum(chans[n] for n in un)
+        nC = sum(chans[n] for n in cn)
+        nIn = 2 * nU + nC
+        WIN = T + 2 * h
+        Z, S, Pp, D, R = 0, nU, 2 * nU, 3 * nU, 4 * nU
+
+        def kernel(ins_any, b_any, pref, ctl_i,
+                   st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
+                   sem, sem2):
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+            L = ctl_i[0, 0]
+            bufs = ((insw, ww, sb, sem), (insw2, ww2, sb2, sem2))
+
+            def _sdiv(a, bb):
+                return jnp.where(
+                    bb != 0.0, a / jnp.where(bb != 0.0, bb, 1.0), 0.0)
+
+            # ---- staging: r=b, z=s=p=delta=0, w slot0=[0|b|0] --------
+            # (z/s/p must be ZEROED, not left as workspace garbage:
+            # beta=0 at it=0 would still propagate NaN bit patterns)
+            sb[pl.ds(0, nU)] = jnp.zeros((nU, T, W), jnp.float32)
+
+            def stage(t, an):
+                t0 = t * T
+                cp = pltpu.make_async_copy(
+                    b_any.at[:, pl.ds(t0, T)],
+                    sb.at[pl.ds(nU, nU)], sem)
+                cp.start(); cp.wait()
+                v = sb[nU:2 * nU]
+                an = an + jnp.sum(v * v)
+                cps = [
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(nU, nU)],
+                        st_any.at[pl.ds(R, nU), pl.ds(t0, T)], sem),
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(nU, nU)],
+                        w_any.at[pl.ds(0, nU), pl.ds(t0 + h, T)], sem),
+                ]
+                for blk in (Z, S, Pp, D):
+                    cps.append(pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        st_any.at[pl.ds(blk, nU), pl.ds(t0, T)], sem))
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                return an
+
+            gamma0 = jax.lax.fori_loop(
+                0, n_tiles, stage, jnp.float32(0.0))
+            for off in (0, nU):        # zero halo rows of BOTH w slots
+                for row0 in (0, H + h):
+                    cp = pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU), pl.ds(0, h)],
+                        w_any.at[pl.ds(off, nU), pl.ds(row0, h)], sem)
+                    cp.start(); cp.wait()
+
+            # ---- the one sweep ---------------------------------------
+            def make_sweep(is_init):
+                def reads(b, t0, src_off):
+                    iw, wwx, sbx, sm = bufs[b]
+                    cps = [
+                        pltpu.make_async_copy(
+                            ins_any.at[:, pl.ds(t0, WIN)], iw, sm),
+                        pltpu.make_async_copy(
+                            w_any.at[pl.ds(src_off, nU),
+                                     pl.ds(t0, WIN)], wwx, sm),
+                    ]
+                    if not is_init:
+                        cps.append(pltpu.make_async_copy(
+                            st_any.at[:, pl.ds(t0, T)], sbx, sm))
+                    return cps
+
+                def start_reads(b, t0, src_off):
+                    for cp in reads(b, t0, src_off):
+                        cp.start()
+
+                def wait_reads(b, t0, src_off):
+                    for cp in reads(b, t0, src_off):
+                        cp.wait()
+
+                def compute(b, t0, dst_off, alpha, beta, acc):
+                    gam, ddd = acc
+                    iw, wwx, sbx, sm = bufs[b]
+                    j = 0
+                    x_win = {}
+                    for n in un:
+                        x_win[n] = [iw[j + c] for c in range(chans[n])]
+                        j += chans[n]
+                    imgs = {}
+                    for n in cn:
+                        imgs[n] = [iw[j + c] for c in range(chans[n])]
+                        j += chans[n]
+                    sq_win = [iw[j + k] for k in range(nU)]
+                    data_win = {"images": imgs, "params": params,
+                                "graph_indices": {}}
+                    wv = [wwx[k] for k in range(nU)]
+                    k = 0
+                    p_sc = {}
+                    for n in un:
+                        pwn = []
+                        for c in range(chans[n]):
+                            pwn.append(sq_win[k] * wv[k])
+                            k += 1
+                        p_sc[n] = pwn
+                    tf.coord_offsets = (t0 - h, 0)
+                    fn = lambda xx: tf.residuals_solve(xx, data_win)
+                    _, jvp_fn = jax.linearize(fn, x_win)
+                    jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                    (grad,) = jt_fn(jvp_fn(p_sc))
+                    aps = []
+                    k = 0
+                    for n in un:
+                        for c in range(chans[n]):
+                            aps.append(sq_win[k][h:h + T]
+                                       * grad[n][c][h:h + T])
+                            k += 1
+                    n_arr = jnp.stack(aps)                 # (nU, T, W)
+                    wc = jnp.stack(
+                        [wv[k][h:h + T] for k in range(nU)])
+                    if is_init:
+                        ddd = ddd + jnp.sum(n_arr * wc)
+                        wwx[:, pl.ds(0, T)] = n_arr        # w_0 = A b
+                        cp = pltpu.make_async_copy(
+                            wwx.at[:, pl.ds(0, T)],
+                            w_any.at[pl.ds(dst_off, nU),
+                                     pl.ds(t0 + h, T)], sm)
+                        cp.start(); cp.wait()
+                        return gam, ddd
+                    zb = sbx[Z:Z + nU]
+                    ss = sbx[S:S + nU]
+                    pp = sbx[Pp:Pp + nU]
+                    db = sbx[D:D + nU]
+                    rr = sbx[R:R + nU]
+                    z_new = n_arr + beta * zb
+                    s_new = wc + beta * ss
+                    p_new = rr + beta * pp
+                    d_new = db + alpha * p_new
+                    r_new = rr - alpha * s_new
+                    w_new = wc - alpha * z_new
+                    sbx[pl.ds(Z, nU)] = z_new
+                    sbx[pl.ds(S, nU)] = s_new
+                    sbx[pl.ds(Pp, nU)] = p_new
+                    sbx[pl.ds(D, nU)] = d_new
+                    sbx[pl.ds(R, nU)] = r_new
+                    gam = gam + jnp.sum(r_new * r_new)
+                    ddd = ddd + jnp.sum(w_new * r_new)
+                    wwx[:, pl.ds(0, T)] = w_new
+                    cps = [
+                        pltpu.make_async_copy(
+                            sbx, st_any.at[:, pl.ds(t0, T)], sm),
+                        pltpu.make_async_copy(
+                            wwx.at[:, pl.ds(0, T)],
+                            w_any.at[pl.ds(dst_off, nU),
+                                     pl.ds(t0 + h, T)], sm),
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    return gam, ddd
+
+                def sweep(src_off, dst_off, alpha, beta):
+                    zero2 = (jnp.float32(0.0), jnp.float32(0.0))
+                    if n_tiles % 2:
+                        def tile(t, acc):
+                            t0 = t * T
+                            start_reads(0, t0, src_off)
+                            wait_reads(0, t0, src_off)
+                            return compute(
+                                0, t0, dst_off, alpha, beta, acc)
+
+                        return jax.lax.fori_loop(
+                            0, n_tiles, tile, zero2)
+
+                    n_pairs = n_tiles // 2
+                    start_reads(0, 0, src_off)
+
+                    def pair(k2, acc):
+                        tA = (2 * k2) * T
+                        tB = (2 * k2 + 1) * T
+                        start_reads(1, tB, src_off)
+                        wait_reads(0, tA, src_off)
+                        acc = compute(0, tA, dst_off, alpha, beta, acc)
+                        nk = jnp.minimum(k2 + 1, n_pairs - 1)
+                        start_reads(0, nk * (2 * T), src_off)
+                        wait_reads(1, tB, src_off)
+                        acc = compute(1, tB, dst_off, alpha, beta, acc)
+                        return acc
+
+                    acc = jax.lax.fori_loop(0, n_pairs, pair, zero2)
+                    wait_reads(0, (n_pairs - 1) * 2 * T, src_off)
+                    return acc
+
+                return sweep
+
+            init_sweep = make_sweep(True)
+            iter_sweep = make_sweep(False)
+
+            # prologue: w_0 = A_hat r_0 -> slot 1, dd_0 = <w_0, r_0>
+            _, dd0 = init_sweep(0, nU, jnp.float32(0.0), jnp.float32(0.0))
+
+            def body(carry):
+                it, gamma, dd, gamma_prev, alpha_prev = carry
+                first = it == 0
+                beta = jnp.where(first, 0.0, _sdiv(gamma, gamma_prev))
+                denom = dd - beta * _sdiv(gamma, alpha_prev)
+                alpha = jnp.where(first, _sdiv(gamma, dd),
+                                  _sdiv(gamma, denom))
+                src = nU * ((it + 1) % 2)
+                dst = nU * (it % 2)
+                g2, dd2 = iter_sweep(src, dst, alpha, beta)
+                return it + 1, g2, dd2, gamma, alpha
+
+            jax.lax.while_loop(
+                lambda c: c[0] < L, body,
+                (jnp.int32(0), gamma0, dd0,
+                 jnp.float32(0.0), jnp.float32(1.0)),
+            )
+
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((nIn, WIN, W), jnp.float32),   # ins windows A
+            pltpu.VMEM((nU, WIN, W), jnp.float32),    # w windows A
+            pltpu.VMEM((5 * nU, T, W), jnp.float32),  # state tiles A
+            pltpu.VMEM((nIn, WIN, W), jnp.float32),   # ins windows B
+            pltpu.VMEM((nU, WIN, W), jnp.float32),    # w windows B
+            pltpu.VMEM((5 * nU, T, W), jnp.float32),  # state tiles B
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        out_shapes = (
+            jax.ShapeDtypeStruct((5 * nU, H, W), jnp.float32),  # z|s|p|d|r
+            jax.ShapeDtypeStruct((2 * nU, H + 2 * h, W),
+                                 jnp.float32),                  # w A/B
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec, any_spec, sspec, sspec],
+            out_specs=(any_spec,) * 2,
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=HBM_VMEM_LIMIT_BYTES),
+            interpret=interpret,
+        )
+
+    def _pipelined_backend(self, interpret):
+        """pcg_backend callable over the pipelined kernel (GN only)."""
+        kern = self._build_pipelined_kernel(interpret)
+        un, cn = self.unknown_names, self.const_names
+        chans = self.chans
+        h = self.h
+        pn = self.param_names
+        nU = sum(chans[n] for n in un)
+
+        def pad_plane(a):
+            return jnp.pad(a, ((h, h), (0, 0)))
+
+        def planes(arr):
+            return [arr[..., c] for c in range(arr.shape[-1])]
+
+        def backend(x, data, sq, scs, b_hat, sp):
+            stack = []
+            for n in un:
+                stack += [pad_plane(p) for p in planes(x[n])]
+            for n in cn:
+                stack += [pad_plane(p) for p in planes(data["images"][n])]
+            for n in un:
+                stack += [pad_plane(p) for p in planes(sq[n])]
+            ins = jnp.stack(stack)
+            b = jnp.stack([p for n in un for p in planes(b_hat[n])])
+            pvals = jnp.stack(
+                [jnp.asarray(data["params"][n], jnp.float32)
+                 for n in pn]
+            ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
+            ctl_i = jnp.asarray(
+                sp["lIterations"], jnp.int32).reshape(1, 1)
+            st, _ = kern(ins, b, pvals, ctl_i)
+            out = {}
+            k = 0
+            for n in un:
+                c = chans[n]
+                out[n] = jnp.stack(
+                    [st[3 * nU + k + j] for j in range(c)], axis=-1)
+                k += c
+            return out
+
+        return backend
+
     # -- SolverConfig.pcg_backend hook -------------------------------------
 
     def as_pcg_backend(self, interpret=None):
         """Callable for SolverConfig.pcg_backend: solver/core's step_fn
         delegates the inner PCG solve to the streamed kernel and keeps
-        every outer-iteration decision (GN/LM trust region, costs)."""
+        every outer-iteration decision (GN/LM trust region, costs).
+        Dispatches to the pipelined one-sweep kernel (GN default) or the
+        classic three-sweep kernel per self.variant."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if self.variant == "pipelined":
+            return self._pipelined_backend(interpret)
         kern = self._build_backend_kernel(interpret)
         un, cn = self.unknown_names, self.const_names
         chans = self.chans

@@ -86,8 +86,8 @@ def test_stream_matches_xla(energy, inputs_fn):
     ids=["image_warping", "poisson_exclude"],
 )
 def test_stream_hbm_matches_xla(energy, inputs_fn, fuse):
-    """Fully-streamed (HBM-state) variant: same parity contract, with
-    and without the fused beta-step."""
+    """Fully-streamed (HBM-state) classic variant: same parity contract,
+    with and without the fused beta-step."""
     W, H = 128, 64
     inputs = inputs_fn(W, H)
     state = opt_tpu.NewState()
@@ -97,7 +97,8 @@ def test_stream_hbm_matches_xla(energy, inputs_fn, fuse):
     plan.set_solver_parameter("lIterations", 15)
     assert ssv.supports(plan, tile=8, state_in="hbm")
     ref_cost, x_ref = _xla_cost(plan, inputs, 3)
-    solver = ssv.StreamSolverHBM(plan)
+    solver = ssv.StreamSolverHBM(plan, variant="classic")
+    assert solver.variant == "classic"
     solver.fuse_beta = fuse
     out = solver.solve(inputs)
     assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
@@ -106,6 +107,55 @@ def test_stream_hbm_matches_xla(energy, inputs_fn, fuse):
             np.asarray(out["x"][n]), np.asarray(x_ref[n]),
             rtol=1e-3, atol=1e-4,
         )
+
+
+@pytest.mark.parametrize(
+    "energy,inputs_fn",
+    [
+        (energies.image_warping, _warp_inputs),
+        # poisson exercises Exclude() (masking folds into sqrt_pre = 0)
+        # and UsePreconditioner(False)
+        (energies.poisson_image_editing, _poisson_inputs),
+    ],
+    ids=["image_warping", "poisson_exclude"],
+)
+def test_stream_hbm_pipelined_matches_xla(energy, inputs_fn):
+    """Pipelined one-sweep-per-iteration PCG (the GN default variant):
+    same parity contract as classic."""
+    W, H = 128, 64
+    inputs = inputs_fn(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energy, "gaussNewtonGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 15)
+    ref_cost, x_ref = _xla_cost(plan, inputs, 3)
+    solver = ssv.StreamSolverHBM(plan)
+    assert solver.variant == "pipelined"  # GN default
+    out = solver.solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+    for n in x_ref:
+        np.testing.assert_allclose(
+            np.asarray(out["x"][n]), np.asarray(x_ref[n]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_stream_hbm_pipelined_odd_tiles():
+    """Odd tile count exercises the serial (non-pair) sweep path."""
+    W, H = 128, 24  # T=8 -> 3 tiles
+    inputs = _warp_inputs(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [W, H])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 12)
+    ref_cost, _ = _xla_cost(plan, inputs, 2)
+    solver = ssv.StreamSolverHBM(plan, tile=8)
+    assert solver.variant == "pipelined" and solver.n_tiles % 2 == 1
+    out = solver.solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
 
 
 @pytest.mark.parametrize("fuse", [True, False], ids=["fused", "unfused"])
