@@ -214,9 +214,13 @@ class ShardedGridFuncs:
         return total
 
 
-def make_halo_solver(plan, mesh):
+def make_halo_solver(plan, mesh, pcg_backend=None):
     """Build (full_solve_sharded, n_local, halo) for a grid plan on a
-    1-D mesh; full_solve_sharded(x, data, sp) runs under shard_map."""
+    1-D mesh; full_solve_sharded(x, data, sp) runs under shard_map.
+
+    pcg_backend: optional SolverConfig.pcg_backend installed on the
+    sharded config -- used by parallel/stream_shard.py to swap the inner
+    PCG for the per-shard streamed Pallas apply."""
     assert not plan.spec.graphs, "halo path is for grid problems"
     has_sampled = [False]
 
@@ -265,6 +269,8 @@ def make_halo_solver(plan, mesh):
 
     cfg = copy.copy(plan.config)
     cfg.psum_axis = axis_name
+    if pcg_backend is not None:
+        cfg.pcg_backend = pcg_backend
     _, _, _, _, full_solve = make_solver(sharded, cfg)
 
     def body(x, data, sp):

@@ -1,0 +1,380 @@
+"""Multi-chip streamed PCG: per-shard Pallas apply under shard_map.
+
+The single-chip streamed engine (ops/stream_solver.StreamSolverHBM) runs
+the WHOLE linear solve inside one Pallas kernel, which cannot reach
+other chips (no collectives mid-kernel on this toolchain).  This module
+shards the >VMEM regime the way the reference's multi-device launcher
+shards its per-kernel solver (reference: API/src/backend_cpu_mt.t:698-944
+-- each thread owns a contiguous row block, kernels launch per block,
+reductions merge across threads):
+
+* each device owns a contiguous row SLAB of the grid (1-D mesh);
+* the inner-PCG A-apply is ONE Pallas kernel launch per device per
+  iteration: a streamed row-tile sweep over the locally materialized
+  (slab + 2*halo) window -- the same tile/window/evaluator machinery as
+  StreamSolverHBM's sweep 1, with global coordinates entering through an
+  SMEM row-offset scalar;
+* the p-halo rows move by `lax.ppermute` before each apply and the PCG
+  scalars reduce with `lax.psum` (the reference's shadow-buffer exchange
+  + ReduceVar roles);
+* every outer-iteration decision stays in solver/core (the backend is a
+  SolverConfig.pcg_backend), with psum_axis making the outer cost /
+  JtF reductions global.
+
+Correctness structure (same redundant-compute choice as parallel/halo.py
+and the reference's boundary rows): the apply evaluates residuals over
+the whole extended slab and CROPS the center rows, so every surviving
+JtJp contribution only reads exchanged (valid) data; residuals whose
+support leaks past the extended slab contribute only to cropped rows.
+GN only -- LM's residual reset and Q sequence stay on the XLA sharded
+paths (parallel/halo.py, parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compile.plan_fns import ProblemFunctions
+from ..dsl import expr as E
+from ..dsl.env import EnergyEnv
+from ..dsl.spec import ProblemSpec
+from ..ops.stream_solver import (
+    LANE,
+    SUBLANE,
+    _roundup,
+    _stencil_radius_axis0,
+)
+from ..solver.core import tmap
+
+
+def supports(plan, mesh):
+    """Eligibility: GN, one 2-D f32 grid ispace, no SampledImage, lane-
+    aligned width, slab rows sublane-aligned and >= the halo."""
+    if plan.config.uses_lambda or plan.spec.graphs:
+        return False
+    if plan.funcs.dtype != jnp.float32:
+        return False
+    keys = {im.ispace.key() for im in plan.spec.images.values()}
+    if len(keys) != 1:
+        return False
+    for g in plan.funcs.groups:
+        if g.kind != "centered" or g.ispace.ndims != 2:
+            return False
+    has_sampled = [False]
+
+    def _chk(a):
+        if isinstance(a, E.SampledAccess):
+            has_sampled[0] = True
+
+    for exp in plan.spec.terms:
+        E.visit(exp, _chk)
+    if has_sampled[0]:
+        return False
+    H, W = next(iter(plan.spec.images.values())).ispace.shape
+    n_dev = mesh.devices.size
+    if W % LANE or H % n_dev:
+        return False
+    n_local = H // n_dev
+    r = _stencil_radius_axis0(plan.spec)
+    he = _roundup(max(2 * r, 1), SUBLANE)
+    return n_local % SUBLANE == 0 and n_local >= he
+
+
+class ShardedStreamEngine:
+    """Per-shard streamed apply + shard_map-level hat-space PCG."""
+
+    def __init__(self, plan, mesh, tile=None):
+        assert supports(plan, mesh), (
+            "plan/mesh not eligible for the sharded stream engine"
+        )
+        self.plan = plan
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_dev = int(mesh.devices.size)
+        funcs = plan.funcs
+        H, W = next(iter(plan.spec.images.values())).ispace.shape
+        self.H, self.W = H, W
+        self.n_local = H // self.n_dev
+        r = _stencil_radius_axis0(plan.spec)
+        # slab exchange halo (>= 2*radius, sublane-aligned) and window
+        # DMA halo -- both cover J^T(J p)'s 2r reach
+        self.he = _roundup(max(2 * r, 1), SUBLANE)
+        self.h = self.he
+        self.H_s = self.n_local + 2 * self.he      # extended slab rows
+        cap = tile or 32
+        T = None
+        t = min(cap, self.H_s)
+        while t >= SUBLANE:
+            if self.H_s % t == 0 and t >= self.h:
+                T = t
+                break
+            t -= SUBLANE
+        assert T is not None, "no feasible tile for the extended slab"
+        self.tile = T
+        self.n_tiles = self.H_s // T
+
+        # tile-window ProblemFunctions: window rows = T + 2h, with
+        # GLOBAL real shapes so bounds/Index tests use global coords
+        dims_ext = list(plan.dims)
+        dims_ext[-1] = T + 2 * self.h
+        spec_t = ProblemSpec()
+        env = EnergyEnv(spec_t, dims_ext)
+        from ..runtime.api import _run_energy
+
+        _run_energy(plan.problem.energy, env)
+        real_shapes = {
+            im.ispace.key(): im.ispace.shape
+            for im in plan.spec.images.values()
+        }
+        self.tfuncs = ProblemFunctions(
+            spec_t, funcs.dtype, real_shapes=real_shapes, kernel_safe=True
+        )
+        self.unknown_names = sorted(funcs.unknown_shapes)
+        self.const_names = sorted(
+            n for n, im in plan.spec.images.items()
+            if not im.is_unknown and n not in funcs.aliases
+        )
+        self.param_names = sorted(plan.spec.params)
+        self.chans = {
+            n: plan.spec.images[n].channels
+            for n in self.unknown_names + self.const_names
+        }
+
+    # -- the per-shard apply kernel ----------------------------------------
+
+    def build_apply_kernel(self, interpret):
+        """pallas_call computing A_hat p = S J^T J S p over the extended
+        slab: ins (nIn, H_s+2h, W) = [x | consts | sqp], p (nU, H_s+2h, W)
+        (both h-padded), row0 the slab's global row offset (SMEM), out
+        (nU, H_s, W).  One serial streamed tile sweep -- the multi-chip
+        dryrun runs in interpret mode; real multi-chip perf would add
+        the double-buffering of StreamSolverHBM.apply_sweep."""
+        T, h, W = self.tile, self.h, self.W
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        tf = self.tfuncs
+        n_tiles = self.n_tiles
+        nU = sum(chans[n] for n in un)
+        nC = sum(chans[n] for n in cn)
+        nIn = 2 * nU + nC
+        WIN = T + 2 * h
+        H_s = self.H_s
+
+        def kernel(ins_any, p_any, pref, rref, out_any, insw, pw, sem):
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+            row0 = rref[0, 0]
+
+            def tile_body(t, _):
+                t0 = t * T
+                cps = [
+                    pltpu.make_async_copy(
+                        ins_any.at[:, pl.ds(t0, WIN)], insw, sem),
+                    pltpu.make_async_copy(
+                        p_any.at[:, pl.ds(t0, WIN)], pw, sem),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                j = 0
+                x_win = {}
+                for n in un:
+                    x_win[n] = [insw[j + c] for c in range(chans[n])]
+                    j += chans[n]
+                imgs = {}
+                for n in cn:
+                    imgs[n] = [insw[j + c] for c in range(chans[n])]
+                    j += chans[n]
+                sq_win = [insw[j + k] for k in range(nU)]
+                data_win = {"images": imgs, "params": params,
+                            "graph_indices": {}}
+                pv = [pw[k] for k in range(nU)]
+                k = 0
+                p_sc = {}
+                for n in un:
+                    pwn = []
+                    for c in range(chans[n]):
+                        pwn.append(sq_win[k] * pv[k])
+                        k += 1
+                    p_sc[n] = pwn
+                tf.coord_offsets = (row0 + t0 - h, 0)
+                fn = lambda xx: tf.residuals_solve(xx, data_win)
+                _, jvp_fn = jax.linearize(fn, x_win)
+                jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                (grad,) = jt_fn(jvp_fn(p_sc))
+                aps = []
+                k = 0
+                for n in un:
+                    for c in range(chans[n]):
+                        aps.append(sq_win[k][h:h + T]
+                                   * grad[n][c][h:h + T])
+                        k += 1
+                pw[:, pl.ds(0, T)] = jnp.stack(aps)
+                cp = pltpu.make_async_copy(
+                    pw.at[:, pl.ds(0, T)],
+                    out_any.at[:, pl.ds(t0, T)], sem)
+                cp.start(); cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((nIn, WIN, W), jnp.float32),
+            pltpu.VMEM((nU, WIN, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec, any_spec, sspec, sspec],
+            out_specs=any_spec,
+            out_shape=jax.ShapeDtypeStruct((nU, H_s, W), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+    # -- the shard_map-level backend ---------------------------------------
+
+    def as_pcg_backend(self, interpret=None):
+        """SolverConfig.pcg_backend running INSIDE shard_map: classic
+        hat-space PCG whose A-apply is the per-shard kernel, scalars
+        psum'd over the mesh axis, p halos ppermuted per iteration."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kern = self.build_apply_kernel(interpret)
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        he, h, n_local = self.he, self.h, self.n_local
+        nU = sum(chans[n] for n in un)
+        ax = self.axis
+        n_dev = self.n_dev
+
+        def ext(a):
+            """(n_local, W) local plane -> (H_s, W) with neighbor rows
+            (edge devices zero-fill, matching global zero-pad)."""
+            up = jax.lax.ppermute(
+                a[-he:], ax, perm=[(i, i + 1) for i in range(n_dev - 1)]
+            )
+            dn = jax.lax.ppermute(
+                a[:he], ax, perm=[(i + 1, i) for i in range(n_dev - 1)]
+            )
+            return jnp.concatenate([up, a, dn], axis=0)
+
+        def pad(a):
+            return jnp.pad(a, ((h, h), (0, 0)))
+
+        def planes(arr):
+            return [arr[..., c] for c in range(arr.shape[-1])]
+
+        def psum(v):
+            return jax.lax.psum(v, ax)
+
+        def tdot(a, b):
+            return sum(
+                jnp.sum(x * y) for x, y in zip(
+                    jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b))
+            )
+
+        def backend(x, data, sq, scs, b_hat, sp):
+            L = jnp.asarray(sp["lIterations"], jnp.int32)
+            stack = []
+            for n in un:
+                stack += [pad(ext(p)) for p in planes(x[n])]
+            for n in cn:
+                stack += [pad(ext(p)) for p in planes(data["images"][n])]
+            for n in un:
+                stack += [pad(ext(p)) for p in planes(sq[n])]
+            ins = jnp.stack(stack)
+            pvals = jnp.stack(
+                [jnp.asarray(data["params"][n], jnp.float32)
+                 for n in pn]
+            ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
+            row0 = (
+                jax.lax.axis_index(ax).astype(jnp.int32) * n_local - he
+            ).reshape(1, 1)
+
+            def A(p):
+                pe = jnp.stack(
+                    [pad(ext(pp)) for n in un for pp in planes(p[n])]
+                )
+                ap = kern(ins, pe, pvals, row0)[:, he:he + n_local]
+                out, k = {}, 0
+                for n in un:
+                    c = chans[n]
+                    out[n] = jnp.stack(
+                        [ap[k + j] for j in range(c)], axis=-1)
+                    k += c
+                return out
+
+            def sdiv(a, b):
+                return jnp.where(
+                    b != 0.0, a / jnp.where(b != 0.0, b, 1.0), 0.0)
+
+            r0 = b_hat
+            an0 = psum(tdot(r0, r0))
+            carry0 = {
+                "delta": tmap(jnp.zeros_like, r0),
+                "r": r0, "p": r0, "an": an0,
+                "i": jnp.asarray(0, jnp.int32),
+            }
+
+            def body(c):
+                Ap = A(c["p"])
+                pap = psum(tdot(c["p"], Ap))
+                alpha = sdiv(c["an"], pap)
+                delta = tmap(
+                    lambda p_, d: d + alpha * p_, c["p"], c["delta"])
+                r = tmap(lambda ap, rr: rr - alpha * ap, Ap, c["r"])
+                bn = psum(tdot(r, r))
+                beta = sdiv(bn, c["an"])
+                p = tmap(lambda rr, pp: rr + beta * pp, r, c["p"])
+                return {"delta": delta, "r": r, "p": p, "an": bn,
+                        "i": c["i"] + 1}
+
+            out = jax.lax.while_loop(
+                lambda c: c["i"] < L, body, carry0)
+            return out["delta"]
+
+        return backend
+
+
+def make_sharded_stream_solver(plan, mesh, interpret=None, tile=None):
+    """full_solve under shard_map with the streamed per-shard apply:
+    outer iterations via ShardedGridFuncs (cost/JtF/diag psum over the
+    mesh), inner PCG via ShardedStreamEngine.as_pcg_backend."""
+    from .halo import make_halo_solver
+
+    eng = ShardedStreamEngine(plan, mesh, tile=tile)
+    return make_halo_solver(
+        plan, mesh, pcg_backend=eng.as_pcg_backend(interpret)
+    )
+
+
+def solve_sharded_stream(plan, inputs, mesh, n_iterations=None,
+                         interpret=None, tile=None):
+    """Full solve with the multi-chip streamed engine; returns the final
+    cost (replicated scalar).  The stream_hbm counterpart of
+    parallel.halo.solve_sharded_halo."""
+    from . import mesh as pmesh
+
+    x, data = plan.bind(inputs, graph_mode="take")
+    solve, _, _ = make_sharded_stream_solver(
+        plan, mesh, interpret=interpret, tile=tile)
+    x, data = pmesh.shard_problem(plan, x, data, mesh)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(
+        int(n_iterations or plan.solver_params["nIterations"]), jnp.int32
+    )
+    with mesh:
+        st = jax.jit(solve)(x, data, sp)
+        jax.block_until_ready(st)
+    plan._state = st
+    plan._data = data
+    return float(st["prev_cost"])

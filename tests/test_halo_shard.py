@@ -113,3 +113,43 @@ def test_halo_rejects_sampled_image():
     plan = _plan(energies.optical_flow, [W, H])
     with pytest.raises(AssertionError, match="SampledImage"):
         phalo.make_halo_solver(plan, mesh)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip streamed engine (parallel/stream_shard.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_stream_matches_single_image_warping():
+    """Per-shard streamed Pallas apply + psum'd PCG scalars: final cost
+    matches the single-device solve at the cross-backend contract."""
+    from opt_tpu.parallel import stream_shard as pss
+
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H)
+    ref = _single(energies.image_warping, [W, H], inputs)
+    plan = _plan(energies.image_warping, [W, H])
+    assert pss.supports(plan, _mesh1d())
+    cost = pss.solve_sharded_stream(plan, inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=1e-5)
+
+
+def test_sharded_stream_matches_single_poisson_exclude():
+    """Exclude() masking flows through sq = 0 into the per-shard apply."""
+    from opt_tpu.parallel import stream_shard as pss
+
+    W, H = 128, 64
+    inputs = _poisson_inputs(W, H)
+    ref = _single(energies.poisson_image_editing, [W, H], inputs)
+    plan = _plan(energies.poisson_image_editing, [W, H])
+    cost = pss.solve_sharded_stream(plan, inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=1e-5)
+
+
+def test_sharded_stream_rejects_lm_and_graphs():
+    from opt_tpu.parallel import stream_shard as pss
+
+    lm = _plan(energies.image_warping, [128, 64], "LMGPU")
+    assert not pss.supports(lm, _mesh1d())
+    graph = _plan(energies.arap_mesh_deformation, [64, 128])
+    assert not pss.supports(graph, _mesh1d())
