@@ -271,36 +271,40 @@ class ProfiledStepper:
                 "done": state["done"],
             }
 
-        # LM trust-region accept/reject on host scalars (core.py:460-511)
+        # LM trust-region accept/reject on host scalars in the PLAN
+        # dtype (sdt), so every operation rounds exactly like the fused
+        # on-device math (core.py:496-537) -- f64 host floats here would
+        # make the profiling mode's accept/reject trajectory diverge
+        # from the production path near decision boundaries
         with timer.event("computeModelCost"):
-            mc = float(self._block(self._model_cost(x, data, delta)))
-        prev = float(state["prev_cost"])
-        cost_change = prev - float(new_cost)
-        model_change = prev - mc
-        rel = cost_change / model_change if model_change != 0.0 else 0.0
+            mc = sdt(float(self._block(self._model_cost(x, data, delta))))
+        prev = sdt(float(state["prev_cost"]))
+        cost_change = sdt(prev - sdt(float(new_cost)))
+        model_change = sdt(prev - mc)
+        rel = sdiv(cost_change, model_change)
         accept = (cost_change >= 0) and (
-            rel > float(sp_host["min_relative_decrease"]))
-        ftol_reached = cost_change <= prev * float(
-            sp_host["function_tolerance"])
-        radius_f = float(state["radius"])
-        decrease_f = float(state["decrease_f"])
+            rel > sdt(float(sp_host["min_relative_decrease"])))
+        ftol_reached = cost_change <= sdt(
+            prev * sdt(float(sp_host["function_tolerance"])))
+        radius_f = sdt(float(state["radius"]))
+        decrease_f = sdt(float(state["decrease_f"]))
         done = bool(state["done"])
         if accept and not ftol_reached:
-            tmp = 1.0 - (2.0 * rel - 1.0) ** 3
+            tmp = sdt(1.0) - sdt(2.0 * rel - sdt(1.0)) ** 3
             radius_f = min(
-                radius_f / max(1.0 / 3.0, tmp),
-                float(sp_host["max_trust_region_radius"]),
+                sdt(radius_f / max(sdt(1.0 / 3.0), tmp)),
+                sdt(float(sp_host["max_trust_region_radius"])),
             )
-            decrease_f = 2.0
-            prev_cost = float(new_cost)
+            decrease_f = sdt(2.0)
+            prev_cost = sdt(float(new_cost))
         elif accept:
             prev_cost = prev
             done = True
         else:
-            radius_f = radius_f / decrease_f
-            decrease_f = 2.0 * decrease_f
+            radius_f = sdt(radius_f / decrease_f)
+            decrease_f = sdt(2.0 * decrease_f)
             prev_cost = prev
-            if radius_f <= float(sp_host["min_trust_region_radius"]):
+            if radius_f <= sdt(float(sp_host["min_trust_region_radius"])):
                 done = True
         dtype = funcs.dtype
         return {
