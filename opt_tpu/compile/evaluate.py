@@ -343,6 +343,13 @@ class EvalContext:
         # diag(J^T J) computation to re-route unknown reads through explicit
         # leaf inputs (see plan.py).
         self.leaf_overrides = None
+        # optional override table: ComputedAccess.key() -> array.  The
+        # chain-rule leaf-partials path (plan_fns._leaf_partials_computed)
+        # treats ComputedArray taps as pseudo-leaves: with an override
+        # present the tap returns it directly (no expansion, no buffer),
+        # so jax.linearize sees d(residual)/d(tap) separately from the
+        # buffer's own unknown partials.
+        self.computed_overrides = None
         # ComputedArray buffers: name -> [channel arrays], materialized on
         # first access (the reference's precompute, o.t:3131-3153) and
         # shared across every shifted read in this context
@@ -479,6 +486,10 @@ class EvalContext:
         evaluating e.g. the SFS shading expression once instead of once
         per stencil tap (the reference's precompute,
         solverGPUGaussNewton.t:1876,2242)."""
+        if self.computed_overrides is not None:
+            ov = self.computed_overrides.get(e.key())
+            if ov is not None:
+                return ov
         if self.leaf_overrides is not None:
             return self.eval(e.expanded())
         bufs = self._computed_cache.get(e.cimage.name)

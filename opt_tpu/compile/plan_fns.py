@@ -253,6 +253,171 @@ class ProblemFunctions:
 
     # -- diag(J^T J) ------------------------------------------------------------
 
+    def _computed_structure(self, g):
+        """Distinct ComputedArray taps + direct unknown leaves of a
+        centered group, for the chain-rule leaf-partials path.
+
+        Returns (taps, direct, cimages, buf_leaves) or None when the
+        group has no computed reads or uses structure the chain rule
+        does not cover (nested ComputedArrays, SampledImage)."""
+        if g.kind != "centered":
+            return None
+        taps, direct, cimages = {}, {}, {}
+        ok = [True]
+
+        def on(a):
+            if isinstance(a, E.ComputedAccess):
+                taps.setdefault(a.key(), a)
+                cimages[a.cimage.name] = a.cimage
+            elif isinstance(a, E.ImageAccess) and a.image.is_unknown:
+                direct.setdefault(a.key(), a)
+            elif isinstance(a, E.SampledAccess):
+                ok[0] = False
+
+        for exp in g.exprs:
+            E.visit(exp, on)
+        if not taps or not ok[0]:
+            return None
+        buf_leaves = {}
+        for cname, ci in cimages.items():
+            d = {}
+
+            def onb(a):
+                if isinstance(a, (E.ComputedAccess, E.SampledAccess)):
+                    ok[0] = False
+                elif isinstance(a, E.ImageAccess) and a.image.is_unknown:
+                    if not isinstance(a.index, E.Offset):
+                        ok[0] = False
+                    d.setdefault(a.key(), a)
+
+            for ch_expr in ci.exprs:
+                E.visit(ch_expr, onb)
+            buf_leaves[cname] = d
+        if not ok[0]:
+            return None
+        return taps, direct, cimages, buf_leaves
+
+    def _leaf_partials_computed(self, g, x, data):
+        """Chain-rule leaf partials for a ComputedArray-using group.
+
+        The inline path re-expands the computed expression at EVERY tap
+        and differentiates the expansion per composed leaf -- for SFS
+        that evaluates the shading expression once per (tap x leaf).
+        Here the buffer stays materialized (the production residual
+        path, o.t:3131-3153) and the chain rule composes two small
+        linearizations instead:
+
+            dB_w   = d(buffer)/d(unknown at w)      (per buffer leaf)
+            G_p    = d(residual)/d(buffer tap p)    (taps as pseudo-
+            G_a    = d(residual)/d(direct leaf a)    leaves, via
+                                                     computed_overrides)
+            dr/d(u at p+w) = G_a[p+w] + sum_p G_p * shift_p(dB_w)
+
+        Boundary semantics actually IMPROVE on the inline view: the
+        shifted dB fields zero-fill exactly like the production buffer
+        reads, where inline expansion differentiated through values the
+        solve path never uses (both are masked by the energies' bounds
+        guards in practice).  Returns (g, leaves, D) matching the inline
+        contract, or None to fall back."""
+        st = self._computed_structure(g)
+        if st is None:
+            return None
+        taps, direct, cimages, buf_leaves = st
+        read_ctx = self._ctx(g, x, data)
+
+        def one_hots(vals):
+            for i in range(len(vals)):
+                yield tuple(
+                    jnp.ones_like(v) if j == i else jnp.zeros_like(v)
+                    for j, v in enumerate(vals)
+                )
+
+        # -- buffer partials: dB/d(leaf) per computed channel ----------
+        dB = {}
+        for cname, ci in cimages.items():
+            bl = list(buf_leaves[cname].values())
+            if not bl:
+                continue
+            bkeys = [a.key() for a in bl]
+            bvals = tuple(read_ctx.read_image(a) for a in bl)
+
+            def bfun(vals, ci=ci, bkeys=bkeys):
+                ctx = self._ctx(g, x, data)
+                ctx.leaf_overrides = dict(zip(bkeys, vals))
+                outs = []
+                for ch_expr in ci.exprs:
+                    v = jnp.asarray(ctx.eval(ch_expr))
+                    if v.dtype != self.dtype:
+                        v = v.astype(self.dtype)
+                    outs.append(jnp.broadcast_to(v, ctx.shape))
+                return outs
+
+            _, bjvp = jax.linearize(bfun, bvals)
+            for a, tangents in zip(bl, one_hots(bvals)):
+                for ch, fld in enumerate(bjvp(tangents)):
+                    dB[(cname, ch, a.key())] = fld
+
+        # -- residual partials w.r.t. direct leaves + buffer taps ------
+        dl = list(direct.values())
+        dkeys = [a.key() for a in dl]
+        tap_list = list(taps.items())
+        dvals = tuple(read_ctx.read_image(a) for a in dl)
+        tvals = tuple(read_ctx.eval(node) for _, node in tap_list)
+        n_d = len(dl)
+
+        def gfun(all_vals):
+            ctx = self._ctx(g, x, data)
+            ctx.leaf_overrides = dict(zip(dkeys, all_vals[:n_d]))
+            ctx.computed_overrides = {
+                tkey: v
+                for (tkey, _), v in zip(tap_list, all_vals[n_d:])
+            }
+            fields = [ev.eval_field(e, ctx) for e in g.exprs]
+            if ctx.real_shape is not None:
+                rm = ev.real_domain_mask(ctx.shape, ctx.real_shape,
+                                         self.coord_offsets)
+                if rm is not None:
+                    fields = [jnp.where(rm, f, 0.0) for f in fields]
+            if self.kernel_safe:
+                return fields
+            return jnp.stack(fields)
+
+        all_vals = dvals + tvals
+        _, jvp_fn = jax.linearize(gfun, all_vals)
+        partials = [jvp_fn(t) for t in one_hots(all_vals)]
+
+        def padd(a, b):
+            if isinstance(a, (list, tuple)):
+                return [x + y for x, y in zip(a, b)]
+            return a + b
+
+        def pscale(fld, s):
+            if isinstance(fld, (list, tuple)):
+                return [f * s for f in fld]
+            return fld * s
+
+        totals = {}
+        for k, fld in zip(dkeys, partials[:n_d]):
+            totals[k] = padd(totals[k], fld) if k in totals else fld
+        for ((_tag, cname, ch, p), _node), gt in zip(
+                tap_list, partials[n_d:]):
+            for a in buf_leaves[cname].values():
+                # tap offset p composes with the buffer leaf offset w:
+                # dr/d(u at p+w) accumulates G_p * shift_p(dB_w)
+                dfld = dB[(cname, ch, a.key())]
+                if any(p):
+                    dfld = self._shift(dfld, p)
+                ckey = (a.image.name, a.index.shift(p), a.channel)
+                contrib = pscale(gt, dfld)
+                totals[ckey] = (
+                    padd(totals[ckey], contrib) if ckey in totals
+                    else contrib
+                )
+        if any(a.key() not in totals for a in g.unknown_leaves):
+            return None  # structure mismatch: fall back to inline
+        D = [totals[a.key()] for a in g.unknown_leaves]
+        return g, list(g.unknown_leaves), D
+
     def leaf_partials(self, x, data):
         """Per-group elementwise partial fields dr/da for every unknown leaf.
 
@@ -263,12 +428,20 @@ class ProblemFunctions:
         createjtfcentered o.t:2894-2903), for the materialized-Jacobian mode
         (opt_tpu/sparse/materialize.py), and for CSR export (dumpJ parity).
 
+        ComputedArray-using centered groups route through the chain-rule
+        path (_leaf_partials_computed) so the buffer is differentiated
+        once instead of once per tap; same yielded contract.
+
         Yields (group, leaves, [D_a fields of shape (n_channels, *domain)]).
         """
         gidx = data.get("graph_indices", {})
         for g in self.groups:
             leaves = g.unknown_leaves
             if not leaves:
+                continue
+            res = self._leaf_partials_computed(g, x, data)
+            if res is not None:
+                yield res
                 continue
             keys = [a.key() for a in leaves]
             # read leaf values through a context so graph reads share one
