@@ -82,14 +82,16 @@ def _stencil_radius_axis0(spec):
     return radius
 
 
-def supports(plan, tile=32, state_in="vmem"):
+def supports(plan, tile=32, state_in="vmem", variant="classic"):
     """Eligibility: GN, one 2-D grid ispace, f32, aligned sizes.
 
     state_in='vmem' (StreamSolver) keeps the PCG state vectors resident;
     'hbm' (StreamSolverHBM) streams them too, so only window/tile
     buffers count against VMEM and arbitrarily large grids qualify.
     'hbm' also supports LM (in-kernel Q/zeta exit + residual reset;
-    the trust region runs in solver/core via the pcg_backend hook)."""
+    the trust region runs in solver/core via the pcg_backend hook).
+    variant='pipelined' drops the classic kernel's nC >= nU stage-
+    aliasing requirement (its state tiles have dedicated buffers)."""
     if plan.config.uses_lambda and state_in != "hbm":
         return False
     if plan.funcs.dtype != jnp.float32:
@@ -120,9 +122,9 @@ def supports(plan, tile=32, state_in="vmem"):
     h = _roundup(max(2 * r, 1), SUBLANE)
     if h > tile:
         return False
-    if state_in == "hbm":
+    if state_in == "hbm" and variant != "pipelined":
         # 3 of the 4 stacked tile stages alias insw plane-groups
-        # (StreamSolverHBM kernel) -> need nIn = 2*nU + nC >= 3*nU
+        # (StreamSolverHBM classic kernel) -> need nIn = 2*nU + nC >= 3*nU
         funcs = plan.funcs
         nU = sum(s[-1] for s in funcs.unknown_shapes.values())
         nC = sum(
@@ -131,7 +133,8 @@ def supports(plan, tile=32, state_in="vmem"):
         )
         if nC < nU:
             return False
-    est = _estimate_vmem(plan, tile, h, H, W, state_in=state_in)
+    est = _estimate_vmem(plan, tile, h, H, W, state_in=state_in,
+                         variant=variant)
     budget = (HBM_VMEM_BUDGET_BYTES if state_in == "hbm"
               else VMEM_BUDGET_BYTES)
     return est <= budget
@@ -180,7 +183,13 @@ def _hbm_tile_search(plan, max_tile=None, variant="classic"):
 def supports_hbm(plan, max_tile=None):
     """Eligibility for StreamSolverHBM with the constructor's own
     divisor-aware tile search (advisor r2: a fixed tile=16 gate rejected
-    grids like H=1000 that have a valid smaller divisor tile)."""
+    grids like H=1000 that have a valid smaller divisor tile).  GN plans
+    qualify through either variant (the pipelined kernel has no
+    nC >= nU constraint); LM requires the classic kernel."""
+    if not plan.config.uses_lambda:
+        t, _ = _hbm_tile_search(plan, max_tile, variant="pipelined")
+        if t is not None and supports(plan, t, "hbm", "pipelined"):
+            return True
     t, _ = _hbm_tile_search(plan, max_tile)
     return t is not None and supports(plan, t, "hbm")
 
@@ -255,7 +264,8 @@ class StreamSolver:
     STATE_IN = "vmem"
 
     def __init__(self, plan, tile=32):
-        assert supports(plan, tile, self.STATE_IN), (
+        assert supports(plan, tile, self.STATE_IN,
+                        getattr(self, "variant", "classic")), (
             "plan not eligible for this stream solver"
         )
         self.plan = plan

@@ -249,3 +249,34 @@ def test_supports_rejects():
         state.problem_define(energies.image_warping, "gaussNewtonGPU"),
         [512, 512])
     assert not ssv.supports(plan)
+
+
+def test_pipelined_lifts_nc_ge_nu_constraint():
+    """An energy with more unknown than constant planes is ineligible
+    for the classic kernel's stage aliasing but solves through the
+    pipelined variant (round 3)."""
+    def big_unknown(O):
+        W, H = O.Dim("W", 0), O.Dim("H", 1)
+        X = O.Unknown("X", O.opt_float4, (W, H), 0)
+        T = O.Array("T", O.opt_float, (W, H), 1)
+        for x, y in ((1, 0), (0, 1)):
+            O.Energy(O.Select(O.InBounds(x, y),
+                              X(0, 0) - X(x, y), 0))
+        O.Energy(0.5 * (O.Slice(X, 0, 1)(0, 0) - T(0, 0)))
+
+    W, H = 128, 32
+    rng = np.random.RandomState(3)
+    inputs = {"X": rng.rand(H, W, 4).astype(np.float32),
+              "T": rng.rand(H, W, 1).astype(np.float32)}
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(big_unknown, "gaussNewtonGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 12)
+    assert not ssv.supports(plan, tile=8, state_in="hbm")  # nC < nU
+    assert ssv.supports_hbm(plan)  # pipelined path qualifies
+    ref_cost, _ = _xla_cost(plan, inputs, 2)
+    solver = ssv.StreamSolverHBM(plan)
+    assert solver.variant == "pipelined"
+    out = solver.solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
