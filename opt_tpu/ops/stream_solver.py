@@ -208,9 +208,14 @@ TEMP_PLANES_FACTOR = 4
 # 2048^2 fused T=32 and 4096^2 fused T=8 compile)
 HBM_TEMP_PLANES_FACTOR = 1.6
 # raised Mosaic scoped-vmem limit (compiler_params vmem_limit_bytes);
-# the physical budget is far above the 16 MB default
-HBM_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
-HBM_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# the physical budget is far above the 16 MB default (v5e has 128 MB
+# VMEM/core).  OPT_TPU_STREAM_VMEM_MB overrides the modeled budget
+# (limit tracks it +16 MB) for tile-size experiments.
+import os as _os
+
+_VMEM_MB = int(_os.environ.get("OPT_TPU_STREAM_VMEM_MB", "48"))
+HBM_VMEM_BUDGET_BYTES = _VMEM_MB * 1024 * 1024
+HBM_VMEM_LIMIT_BYTES = (_VMEM_MB + 16) * 1024 * 1024
 
 
 def _roundup(v, m):
