@@ -241,10 +241,17 @@ class ShardedStreamEngine:
 
     # -- the shard_map-level backend ---------------------------------------
 
-    def as_pcg_backend(self, interpret=None):
-        """SolverConfig.pcg_backend running INSIDE shard_map: classic
-        hat-space PCG whose A-apply is the per-shard kernel, scalars
-        psum'd over the mesh axis, p halos ppermuted per iteration."""
+    def as_pcg_backend(self, interpret=None, variant="pipelined"):
+        """SolverConfig.pcg_backend running INSIDE shard_map: hat-space
+        PCG whose A-apply is the per-shard kernel, scalars psum'd over
+        the mesh axis, halos ppermuted per apply.
+
+        variant='pipelined' (default, Ghysels & Vanroose as in
+        solver/core.pcg_pipelined with M=I): both reductions use only
+        the previous iteration's vectors, so on real multi-chip
+        hardware the psum latency overlaps the halo-exchanged apply --
+        the variant's original purpose.  'classic' keeps the two-barrier
+        loop for comparison."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         kern = self.build_apply_kernel(interpret)
@@ -318,6 +325,51 @@ class ShardedStreamEngine:
                     b != 0.0, a / jnp.where(b != 0.0, b, 1.0), 0.0)
 
             r0 = b_hat
+            if variant == "pipelined":
+                # M = I collapses u=r, q=s, m=w of core.pcg_pipelined
+                w0 = A(r0)
+                zl = tmap(jnp.zeros_like, r0)
+                carry0 = {
+                    "delta": zl, "r": r0, "w": w0,
+                    "z": zl, "s": zl, "p": zl,
+                    "gamma": jnp.float32(0.0),
+                    "alpha": jnp.float32(1.0),
+                    "i": jnp.asarray(0, jnp.int32),
+                }
+
+                def body(c):
+                    i = c["i"]
+                    # both reductions read only last iteration's r/w:
+                    # their psums overlap the apply below on a real mesh
+                    gamma = psum(tdot(c["r"], c["r"]))
+                    dd = psum(tdot(c["w"], c["r"]))
+                    n = A(c["w"])
+                    first = i == 0
+                    beta = jnp.where(first, 0.0, sdiv(gamma, c["gamma"]))
+                    denom = dd - beta * sdiv(gamma, c["alpha"])
+                    alpha = jnp.where(
+                        first, sdiv(gamma, dd), sdiv(gamma, denom))
+                    z = tmap(lambda nn, zz: nn + beta * zz, n, c["z"])
+                    s = tmap(lambda ww, ss: ww + beta * ss,
+                             c["w"], c["s"])
+                    p = tmap(lambda rr, pp: rr + beta * pp,
+                             c["r"], c["p"])
+                    return {
+                        "delta": tmap(
+                            lambda pp, d: d + alpha * pp, p, c["delta"]),
+                        "r": tmap(
+                            lambda ss, rr: rr - alpha * ss, s, c["r"]),
+                        "w": tmap(
+                            lambda zz, ww: ww - alpha * zz, z, c["w"]),
+                        "z": z, "s": s, "p": p,
+                        "gamma": gamma, "alpha": alpha,
+                        "i": i + 1,
+                    }
+
+                out = jax.lax.while_loop(
+                    lambda c: c["i"] < L, body, carry0)
+                return out["delta"]
+
             an0 = psum(tdot(r0, r0))
             carry0 = {
                 "delta": tmap(jnp.zeros_like, r0),
@@ -345,7 +397,8 @@ class ShardedStreamEngine:
         return backend
 
 
-def make_sharded_stream_solver(plan, mesh, interpret=None, tile=None):
+def make_sharded_stream_solver(plan, mesh, interpret=None, tile=None,
+                               variant="pipelined"):
     """full_solve under shard_map with the streamed per-shard apply:
     outer iterations via ShardedGridFuncs (cost/JtF/diag psum over the
     mesh), inner PCG via ShardedStreamEngine.as_pcg_backend."""
@@ -353,12 +406,12 @@ def make_sharded_stream_solver(plan, mesh, interpret=None, tile=None):
 
     eng = ShardedStreamEngine(plan, mesh, tile=tile)
     return make_halo_solver(
-        plan, mesh, pcg_backend=eng.as_pcg_backend(interpret)
+        plan, mesh, pcg_backend=eng.as_pcg_backend(interpret, variant)
     )
 
 
 def solve_sharded_stream(plan, inputs, mesh, n_iterations=None,
-                         interpret=None, tile=None):
+                         interpret=None, tile=None, variant="pipelined"):
     """Full solve with the multi-chip streamed engine; returns the final
     cost (replicated scalar).  The stream_hbm counterpart of
     parallel.halo.solve_sharded_halo."""
@@ -366,7 +419,7 @@ def solve_sharded_stream(plan, inputs, mesh, n_iterations=None,
 
     x, data = plan.bind(inputs, graph_mode="take")
     solve, _, _ = make_sharded_stream_solver(
-        plan, mesh, interpret=interpret, tile=tile)
+        plan, mesh, interpret=interpret, tile=tile, variant=variant)
     x, data = pmesh.shard_problem(plan, x, data, mesh)
     sp = plan._sp_device()
     sp["nIterations"] = jnp.asarray(

@@ -120,9 +120,11 @@ def test_halo_rejects_sampled_image():
 # ---------------------------------------------------------------------------
 
 
-def test_sharded_stream_matches_single_image_warping():
+@pytest.mark.parametrize("variant", ["pipelined", "classic"])
+def test_sharded_stream_matches_single_image_warping(variant):
     """Per-shard streamed Pallas apply + psum'd PCG scalars: final cost
-    matches the single-device solve at the cross-backend contract."""
+    matches the single-device solve at the cross-backend contract
+    (pipelined = one-barrier Ghysels-Vanroose, the default)."""
     from opt_tpu.parallel import stream_shard as pss
 
     W, H = 128, 64
@@ -130,7 +132,8 @@ def test_sharded_stream_matches_single_image_warping():
     ref = _single(energies.image_warping, [W, H], inputs)
     plan = _plan(energies.image_warping, [W, H])
     assert pss.supports(plan, _mesh1d())
-    cost = pss.solve_sharded_stream(plan, inputs, _mesh1d())
+    cost = pss.solve_sharded_stream(plan, inputs, _mesh1d(),
+                                    variant=variant)
     assert cost == pytest.approx(ref, rel=1e-5)
 
 
