@@ -119,7 +119,8 @@ def cmd_large_grid(sizes, modes):
             plan = _plan("image_warping", [size, size])
             plan.set_solver_parameter("nIterations", n_outer)
             plan.set_solver_parameter("lIterations", n_lin)
-            eng = StreamSolverHBM(plan, variant=variant)
+            tile = int(os.environ.get("OPT_TPU_SWEEP_TILE", "0")) or None
+            eng = StreamSolverHBM(plan, tile=tile, variant=variant)
             ms, cost = time_engine(eng, inputs)
             tag = (f"stream_hbm_t{eng.tile}_{eng.variant}"
                    + ("_fused" if eng.fuse_beta else ""))

@@ -216,6 +216,11 @@ import os as _os
 _VMEM_MB = int(_os.environ.get("OPT_TPU_STREAM_VMEM_MB", "48"))
 HBM_VMEM_BUDGET_BYTES = _VMEM_MB * 1024 * 1024
 HBM_VMEM_LIMIT_BYTES = (_VMEM_MB + 16) * 1024 * 1024
+# OPT_TPU_STREAM_WSTAGE=1: pipelined kernel stages its per-tile state/w
+# writes through dedicated buffers so the write DMAs overlap the next
+# tile's compute (waited one buffer-set cycle later).  Costs 2x6xnU tile
+# buffers of VMEM -- pair with a raised OPT_TPU_STREAM_VMEM_MB.
+_WSTAGE = _os.environ.get("OPT_TPU_STREAM_WSTAGE", "0") == "1"
 
 
 def _roundup(v, m):
@@ -244,6 +249,8 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
         nIn = 2 * nU + nC                      # x | consts | sqp
         windows = 2 * (nIn + nU) * win_rows * W * 4   # ins + w (A+B)
         state = 2 * 5 * nU * tile * W * 4             # z/s/p/delta/r (A+B)
+        if _WSTAGE:
+            state += 2 * 6 * nU * tile * W * 4        # write stages (A+B)
         temps = int(HBM_TEMP_PLANES_FACTOR * n_res * win_rows * W * 4)
     elif state_in == "hbm":
         # window buffers are DOUBLE-BUFFERED (pipelined apply sweep);
@@ -1179,9 +1186,17 @@ class StreamSolverHBM(StreamSolver):
         WIN = T + 2 * h
         Z, S, Pp, D, R = 0, nU, 2 * nU, 3 * nU, 4 * nU
 
+        ws_on = _WSTAGE
+
         def kernel(ins_any, b_any, pref, ctl_i,
                    st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
-                   sem, sem2):
+                   *rest):
+            if ws_on:
+                wsA, wsB, wsemA, wsemB, sem, sem2 = rest
+                wstg = ((wsA, wsemA), (wsB, wsemB))
+            else:
+                sem, sem2 = rest
+                wstg = None
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
             L = ctl_i[0, 0]
             bufs = ((insw, ww, sb, sem), (insw2, ww2, sb2, sem2))
@@ -1232,6 +1247,27 @@ class StreamSolverHBM(StreamSolver):
 
             # ---- the one sweep ---------------------------------------
             def make_sweep(is_init):
+                stride = T if n_tiles % 2 else 2 * T
+
+                def ws_cps(b, t0, dst_off):
+                    """Write-stage DMA descriptors for tile t0 (started
+                    in compute, waited one buffer-set cycle later and in
+                    the sweep epilogue)."""
+                    wsx, wsm = wstg[b]
+                    return [
+                        pltpu.make_async_copy(
+                            wsx.at[pl.ds(0, 5 * nU)],
+                            st_any.at[:, pl.ds(t0, T)], wsm),
+                        pltpu.make_async_copy(
+                            wsx.at[pl.ds(5 * nU, nU)],
+                            w_any.at[pl.ds(dst_off, nU),
+                                     pl.ds(t0 + h, T)], wsm),
+                    ]
+
+                def ws_wait(b, t0, dst_off):
+                    for cp in ws_cps(b, t0, dst_off):
+                        cp.wait()
+
                 def reads(b, t0, src_off):
                     iw, wwx, sbx, sm = bufs[b]
                     cps = [
@@ -1313,13 +1349,33 @@ class StreamSolverHBM(StreamSolver):
                     d_new = db + alpha * p_new
                     r_new = rr - alpha * s_new
                     w_new = wc - alpha * z_new
+                    gam = gam + jnp.sum(r_new * r_new)
+                    ddd = ddd + jnp.sum(w_new * r_new)
+                    if ws_on:
+                        # stage into dedicated buffers; this tile's
+                        # write DMAs fly through the OTHER buffer set's
+                        # compute and are waited on the next reuse of
+                        # this stage (and in the sweep epilogue)
+                        wsx, _wsm = wstg[b]
+                        jax.lax.cond(
+                            t0 >= stride,
+                            lambda _: (ws_wait(b, t0 - stride, dst_off),
+                                       0)[1],
+                            lambda _: 0, None)
+                        wsx[pl.ds(Z, nU)] = z_new
+                        wsx[pl.ds(S, nU)] = s_new
+                        wsx[pl.ds(Pp, nU)] = p_new
+                        wsx[pl.ds(D, nU)] = d_new
+                        wsx[pl.ds(R, nU)] = r_new
+                        wsx[pl.ds(5 * nU, nU)] = w_new
+                        for cp in ws_cps(b, t0, dst_off):
+                            cp.start()
+                        return gam, ddd
                     sbx[pl.ds(Z, nU)] = z_new
                     sbx[pl.ds(S, nU)] = s_new
                     sbx[pl.ds(Pp, nU)] = p_new
                     sbx[pl.ds(D, nU)] = d_new
                     sbx[pl.ds(R, nU)] = r_new
-                    gam = gam + jnp.sum(r_new * r_new)
-                    ddd = ddd + jnp.sum(w_new * r_new)
                     wwx[:, pl.ds(0, T)] = w_new
                     cps = [
                         pltpu.make_async_copy(
@@ -1345,8 +1401,12 @@ class StreamSolverHBM(StreamSolver):
                             return compute(
                                 0, t0, dst_off, alpha, beta, acc)
 
-                        return jax.lax.fori_loop(
+                        acc = jax.lax.fori_loop(
                             0, n_tiles, tile, zero2)
+                        if ws_on and not is_init:
+                            # drain the final tile's staged writes
+                            ws_wait(0, (n_tiles - 1) * T, dst_off)
+                        return acc
 
                     n_pairs = n_tiles // 2
                     start_reads(0, 0, src_off)
@@ -1365,6 +1425,11 @@ class StreamSolverHBM(StreamSolver):
 
                     acc = jax.lax.fori_loop(0, n_pairs, pair, zero2)
                     wait_reads(0, (n_pairs - 1) * 2 * T, src_off)
+                    if ws_on and not is_init:
+                        # drain the last pair's staged writes before the
+                        # next sweep's reads can touch those rows
+                        ws_wait(0, (n_tiles - 2) * T, dst_off)
+                        ws_wait(1, (n_tiles - 1) * T, dst_off)
                     return acc
 
                 return sweep
@@ -1402,6 +1467,15 @@ class StreamSolverHBM(StreamSolver):
             pltpu.VMEM((nIn, WIN, W), jnp.float32),   # ins windows B
             pltpu.VMEM((nU, WIN, W), jnp.float32),    # w windows B
             pltpu.VMEM((5 * nU, T, W), jnp.float32),  # state tiles B
+        ]
+        if ws_on:
+            scratch += [
+                pltpu.VMEM((6 * nU, T, W), jnp.float32),  # write stage A
+                pltpu.VMEM((6 * nU, T, W), jnp.float32),  # write stage B
+                pltpu.SemaphoreType.DMA,                  # wsemA
+                pltpu.SemaphoreType.DMA,                  # wsemB
+            ]
+        scratch += [
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
