@@ -680,7 +680,13 @@ class Plan:
         """Resolve engine="auto" to the measured-best path for this plan:
         grids past the XLA VMEM-carry regime (~>=2048^2 pixels,
         docs/ROOFLINE.md) route to the streamed HBM engine when eligible;
-        everything else stays on the fused XLA program."""
+        everything else stays on the fused XLA program.  OPT_TPU_ENGINE
+        overrides the auto choice (ops escape hatch, like
+        OPT_TPU_GRAPH_MODE for the graph engine)."""
+        if engine == "auto":
+            import os
+
+            engine = os.environ.get("OPT_TPU_ENGINE", "auto")
         if engine != "auto":
             return engine
         if self.spec.graphs or not self.spec.images:

@@ -280,3 +280,18 @@ def test_pipelined_lifts_nc_ge_nu_constraint():
     assert solver.variant == "pipelined"
     out = solver.solve(inputs)
     assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+
+
+def test_engine_env_override(monkeypatch):
+    """OPT_TPU_ENGINE forces the auto-engine choice (ops escape hatch)."""
+    state = opt_tpu.NewState()
+    big = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [2048, 2048])
+    monkeypatch.setenv("OPT_TPU_ENGINE", "xla")
+    assert big._pick_engine("auto") == "xla"
+    monkeypatch.delenv("OPT_TPU_ENGINE")
+    assert big._pick_engine("auto") == "stream_hbm"
+    # explicit engine ignores the env var
+    monkeypatch.setenv("OPT_TPU_ENGINE", "xla")
+    assert big._pick_engine("stream_hbm") == "stream_hbm"
