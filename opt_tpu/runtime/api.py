@@ -691,6 +691,10 @@ class Plan:
             return engine
         if self.spec.graphs or not self.spec.images:
             return "xla"
+        if self.config.uses_lambda:
+            # only the GN (pipelined) stream engine has measured wins
+            # (docs/ROOFLINE.md); LM streaming stays opt-in
+            return "xla"
         shape = next(iter(self.spec.images.values())).ispace.shape
         if len(shape) != 2:
             return "xla"

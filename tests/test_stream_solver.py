@@ -295,3 +295,13 @@ def test_engine_env_override(monkeypatch):
     # explicit engine ignores the env var
     monkeypatch.setenv("OPT_TPU_ENGINE", "xla")
     assert big._pick_engine("stream_hbm") == "stream_hbm"
+
+
+def test_auto_engine_lm_stays_xla():
+    """LM plans stay on XLA in auto mode (stream LM is opt-in until a
+    measured win exists)."""
+    state = opt_tpu.NewState()
+    big = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"),
+        [2048, 2048])
+    assert big._pick_engine("auto") == "xla"
