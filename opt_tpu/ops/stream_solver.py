@@ -135,7 +135,7 @@ def supports(plan, tile=32, state_in="vmem", variant="classic"):
             return False
     est = _estimate_vmem(plan, tile, h, H, W, state_in=state_in,
                          variant=variant)
-    budget = (HBM_VMEM_BUDGET_BYTES if state_in == "hbm"
+    budget = (_hbm_budget_bytes(variant) if state_in == "hbm"
               else VMEM_BUDGET_BYTES)
     return est <= budget
 
@@ -156,7 +156,15 @@ def _hbm_tile_search(plan, max_tile=None, variant="classic"):
     if len(shape) != 2:
         return None, False
     H, W = shape
-    cap = max_tile or max(32, _roundup(H // 64, SUBLANE))
+    if max_tile:
+        cap = max_tile
+    elif variant == "pipelined":
+        # measured on v5e: tile count ~32 (T=64 at 2048^2 and 4096^2)
+        # beats count ~64 (1147 vs 1213 ms, 4716 vs 4820 ms); T > 64
+        # unmeasured, so capped
+        cap = min(64, max(32, _roundup(H // 32, SUBLANE)))
+    else:
+        cap = max(32, _roundup(H // 64, SUBLANE))
     r = _stencil_radius_axis0(plan.spec)
     h = _roundup(max(2 * r, 1), SUBLANE)
 
@@ -165,7 +173,7 @@ def _hbm_tile_search(plan, max_tile=None, variant="classic"):
         while t >= h:
             if H % t == 0 and _estimate_vmem(
                 plan, t, h, H, W, "hbm", fuse, variant
-            ) <= HBM_VMEM_BUDGET_BYTES:
+            ) <= _hbm_budget_bytes(variant):
                 return t
             t -= SUBLANE
         return None
@@ -213,7 +221,25 @@ HBM_TEMP_PLANES_FACTOR = 1.6
 # (limit tracks it +16 MB) for tile-size experiments.
 import os as _os
 
-_VMEM_MB = int(_os.environ.get("OPT_TPU_STREAM_VMEM_MB", "48"))
+_VMEM_MB_ENV = _os.environ.get("OPT_TPU_STREAM_VMEM_MB")
+# Per-variant defaults: the classic three-sweep kernel was calibrated at
+# 48 MB; the pipelined one-sweep kernel verified 88 MB working on v5e
+# hardware (4096^2 T=64, docs/sweep_tpu_r3.csv) and its larger tiles
+# measured faster (T=64 beats T=32 at both 2048^2 and 4096^2).
+_VMEM_MB_DEFAULT = {"classic": 48, "pipelined": 88}
+
+
+def _hbm_budget_bytes(variant="classic"):
+    mb = int(_VMEM_MB_ENV) if _VMEM_MB_ENV else _VMEM_MB_DEFAULT.get(
+        variant, 48)
+    return mb * 1024 * 1024
+
+
+def _hbm_limit_bytes(variant="classic"):
+    return _hbm_budget_bytes(variant) + 16 * 1024 * 1024
+
+
+_VMEM_MB = int(_VMEM_MB_ENV) if _VMEM_MB_ENV else 48
 HBM_VMEM_BUDGET_BYTES = _VMEM_MB * 1024 * 1024
 HBM_VMEM_LIMIT_BYTES = (_VMEM_MB + 16) * 1024 * 1024
 # OPT_TPU_STREAM_WSTAGE=1: pipelined kernel stages its per-tile state/w
@@ -1144,7 +1170,7 @@ class StreamSolverHBM(StreamSolver):
             out_shape=out_shapes,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=HBM_VMEM_LIMIT_BYTES),
+                vmem_limit_bytes=_hbm_limit_bytes("classic")),
             interpret=interpret,
         )
 
@@ -1491,7 +1517,7 @@ class StreamSolverHBM(StreamSolver):
             out_shape=out_shapes,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=HBM_VMEM_LIMIT_BYTES),
+                vmem_limit_bytes=_hbm_limit_bytes("pipelined")),
             interpret=interpret,
         )
 
