@@ -123,7 +123,9 @@ def cmd_large_grid(sizes, modes):
             eng = StreamSolverHBM(plan, tile=tile, variant=variant)
             ms, cost = time_engine(eng, inputs)
             tag = (f"stream_hbm_t{eng.tile}_{eng.variant}"
-                   + ("_fused" if eng.fuse_beta else ""))
+                   + ("_fused" if eng.fuse_beta else "")
+                   + ("_ws" if os.environ.get(
+                       "OPT_TPU_STREAM_WSTAGE") == "1" else ""))
             row("image_warping", size, tag, "gaussNewtonGPU",
                 n_outer, n_lin, ms, cost)
 

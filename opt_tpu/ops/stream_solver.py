@@ -1279,6 +1279,13 @@ class StreamSolverHBM(StreamSolver):
                     """Write-stage DMA descriptors for tile t0 (started
                     in compute, waited one buffer-set cycle later and in
                     the sweep epilogue)."""
+                    # Re-assert tile alignment: t0 arrives here as
+                    # `loop_t0 - stride` captured through a lax.cond
+                    # branch, which strips Mosaic's divisibility
+                    # provenance and fails the memref_slice tiling
+                    # proof ("tile index in dimension 1 is divisible
+                    # by the tiling (8)") at compile time.
+                    t0 = pl.multiple_of(t0, T)
                     wsx, wsm = wstg[b]
                     return [
                         pltpu.make_async_copy(
