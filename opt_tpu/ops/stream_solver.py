@@ -193,7 +193,9 @@ def supports_hbm(plan, max_tile=None):
     divisor-aware tile search (advisor r2: a fixed tile=16 gate rejected
     grids like H=1000 that have a valid smaller divisor tile).  GN plans
     qualify through either variant (the pipelined kernel has no
-    nC >= nU constraint); LM requires the classic kernel."""
+    nC >= nU constraint); LM qualifies through the classic kernel
+    (the constructor's default) though the pipelined kernel also
+    runs LM on request (variant= / OPT_TPU_STREAM_LM_PIPE)."""
     if not plan.config.uses_lambda:
         t, _ = _hbm_tile_search(plan, max_tile, variant="pipelined")
         if t is not None and supports(plan, t, "hbm", "pipelined"):
@@ -272,9 +274,11 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
         len(g.exprs) for g in funcs.groups if g.kind == "centered"
     )
     if state_in == "hbm" and variant == "pipelined":
-        nIn = 2 * nU + nC                      # x | consts | sqp
+        lm = plan.config.uses_lambda
+        nIn = 2 * nU + nC + (nU if lm else 0)  # x | consts | sqp [| scs]
         windows = 2 * (nIn + nU) * win_rows * W * 4   # ins + w (A+B)
-        state = 2 * 5 * nU * tile * W * 4             # z/s/p/delta/r (A+B)
+        # z/s/p/delta/r (A+B); LM adds a b tile per set (Q accumulation)
+        state = 2 * (6 if lm else 5) * nU * tile * W * 4
         if _WSTAGE:
             state += 2 * 6 * nU * tile * W * 4        # write stages (A+B)
         temps = int(HBM_TEMP_PLANES_FACTOR * n_res * win_rows * W * 4)
@@ -704,10 +708,17 @@ class StreamSolverHBM(StreamSolver):
         lm = plan.config.uses_lambda
         want = variant or os.environ.get("OPT_TPU_STREAM_VARIANT", "auto")
         pick = None
-        if not lm and want in ("auto", "pipelined"):
+        lm_pipe = os.environ.get("OPT_TPU_STREAM_LM_PIPE", "0") == "1"
+        if want == "pipelined" or (want == "auto"
+                                   and (not lm or lm_pipe)):
             # GN default: the one-sweep pipelined-PCG kernel (one
             # reduction barrier per iteration vs classic's two); falls
-            # back to classic when its larger buffer set finds no tile
+            # back to classic when its larger buffer set finds no tile.
+            # LM runs pipelined only on request (variant= or
+            # OPT_TPU_STREAM_LM_PIPE=1) until a measured win exists:
+            # its periodic exact residual replacement costs 3 extra
+            # passes per reset (amortized ~0.3 sweeps/iter at the
+            # default period 10).
             pick, _ = _hbm_tile_search(plan, tile, variant="pipelined")
         if pick is not None:
             self.variant = "pipelined"
@@ -1195,10 +1206,23 @@ class StreamSolverHBM(StreamSolver):
         iteration reads [ins window | w window | stacked 5-vector state
         tile] and writes the updated state + the ping-ponged w (w needs
         an A/B slot pair: its halo rows are read by neighbouring tiles'
-        apply windows in the same sweep).  GN only -- LM's Q sequence
-        and residual reset are defined on the classic loop.  The
-        recurrences round differently from classic PCG; GN's outer
-        correction absorbs it (tests pin cost parity at rtol 1e-4).
+        apply windows in the same sweep).  The recurrences round
+        differently from classic PCG; GN's outer correction absorbs it
+        (tests pin cost parity at rtol 1e-4).
+
+        LM mode (uses_lambda) adds, on the same one-barrier loop:
+        the scs = S^2*ctc diagonal in the apply, per-sweep Q
+        accumulation qd = <delta_new, r_new + b> (one extra b-tile
+        read), the zeta = (i+1)(Q1-Q0)/Q1 < q_tol early exit, and the
+        periodic exact residual REPLACEMENT r = b - A delta every
+        residual_reset_period iterations (solverGPUGaussNewton.t's
+        reset on the pipelined recurrences: Cools/Vanroose-style --
+        replace r and w = A r exactly, let the p/s/z recurrences
+        continue).  A reset costs three extra passes (delta -> haloed
+        scratch; apply delta + replace r; apply r for w/dd), using the
+        free w slot as scratch and flipping the slot parity so the
+        recomputed w lands where the next sweep reads.
+
         Reference role: the hand-tuned large-grid CUDA solvers
         (examples/image_warping/src/, PatchSolverWarping.cu)."""
         T, h, H, W = self.tile, self.h, self.H, self.W
@@ -1208,15 +1232,25 @@ class StreamSolverHBM(StreamSolver):
         n_tiles = self.n_tiles
         nU = sum(chans[n] for n in un)
         nC = sum(chans[n] for n in cn)
-        nIn = 2 * nU + nC
+        lm = self.plan.config.uses_lambda
+        nIn = 2 * nU + nC + (nU if lm else 0)
         WIN = T + 2 * h
         Z, S, Pp, D, R = 0, nU, 2 * nU, 3 * nU, 4 * nU
+        B_sb = 5 * nU           # b tile rows in the state buffers (LM)
+        NSB = 6 * nU if lm else 5 * nU
 
         ws_on = _WSTAGE
 
-        def kernel(ins_any, b_any, pref, ctl_i,
-                   st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
-                   *rest):
+        def kernel(*refs):
+            if lm:
+                (ins_any, b_any, pref, ctl_i, ctl_f,
+                 st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
+                 *rest) = refs
+            else:
+                (ins_any, b_any, pref, ctl_i,
+                 st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
+                 *rest) = refs
+                ctl_f = None
             if ws_on:
                 wsA, wsB, wsemA, wsemB, sem, sem2 = rest
                 wstg = ((wsA, wsemA), (wsB, wsemB))
@@ -1225,6 +1259,9 @@ class StreamSolverHBM(StreamSolver):
                 wstg = None
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
             L = ctl_i[0, 0]
+            if lm:
+                period = ctl_i[1, 0]
+                q_tol = ctl_f[0, 0]
             bufs = ((insw, ww, sb, sem), (insw2, ww2, sb2, sem2))
 
             def _sdiv(a, bb):
@@ -1272,7 +1309,16 @@ class StreamSolverHBM(StreamSolver):
                     cp.start(); cp.wait()
 
             # ---- the one sweep ---------------------------------------
-            def make_sweep(is_init):
+            # mode: 'iter'    -- the per-iteration recurrence sweep
+            #       'init'    -- w = A src (prologue w_0 = A b; LM reset
+            #                    pass C recomputing w = A r); acc = dd
+            #       'reset_r' -- LM reset pass B: src windows hold
+            #                    delta, compute r = b - A delta, write
+            #                    it to st R rows AND the dst w slot
+            #                    (haloed scratch for pass C); acc =
+            #                    (gamma, qd)
+            def make_sweep(mode):
+                is_init = mode == "init"
                 stride = T if n_tiles % 2 else 2 * T
 
                 def ws_cps(b, t0, dst_off):
@@ -1310,9 +1356,14 @@ class StreamSolverHBM(StreamSolver):
                             w_any.at[pl.ds(src_off, nU),
                                      pl.ds(t0, WIN)], wwx, sm),
                     ]
-                    if not is_init:
+                    if mode == "iter":
                         cps.append(pltpu.make_async_copy(
-                            st_any.at[:, pl.ds(t0, T)], sbx, sm))
+                            st_any.at[:, pl.ds(t0, T)],
+                            sbx.at[pl.ds(0, 5 * nU)], sm))
+                    if lm and mode in ("iter", "reset_r"):
+                        cps.append(pltpu.make_async_copy(
+                            b_any.at[:, pl.ds(t0, T)],
+                            sbx.at[pl.ds(B_sb, nU)], sm))
                     return cps
 
                 def start_reads(b, t0, src_off):
@@ -1324,7 +1375,10 @@ class StreamSolverHBM(StreamSolver):
                         cp.wait()
 
                 def compute(b, t0, dst_off, alpha, beta, acc):
-                    gam, ddd = acc
+                    if mode == "iter" and lm:
+                        gam, ddd, qdd = acc
+                    else:
+                        gam, ddd = acc
                     iw, wwx, sbx, sm = bufs[b]
                     j = 0
                     x_win = {}
@@ -1336,6 +1390,9 @@ class StreamSolverHBM(StreamSolver):
                         imgs[n] = [iw[j + c] for c in range(chans[n])]
                         j += chans[n]
                     sq_win = [iw[j + k] for k in range(nU)]
+                    scs_win = (
+                        [iw[j + nU + k] for k in range(nU)]
+                        if lm else None)
                     data_win = {"images": imgs, "params": params,
                                 "graph_indices": {}}
                     wv = [wwx[k] for k in range(nU)]
@@ -1356,8 +1413,12 @@ class StreamSolverHBM(StreamSolver):
                     k = 0
                     for n in un:
                         for c in range(chans[n]):
-                            aps.append(sq_win[k][h:h + T]
-                                       * grad[n][c][h:h + T])
+                            ap = (sq_win[k][h:h + T]
+                                  * grad[n][c][h:h + T])
+                            if lm:  # + scs diagonal (hat-space CtC)
+                                ap = ap + (scs_win[k][h:h + T]
+                                           * wv[k][h:h + T])
+                            aps.append(ap)
                             k += 1
                     n_arr = jnp.stack(aps)                 # (nU, T, W)
                     wc = jnp.stack(
@@ -1370,6 +1431,29 @@ class StreamSolverHBM(StreamSolver):
                             w_any.at[pl.ds(dst_off, nU),
                                      pl.ds(t0 + h, T)], sm)
                         cp.start(); cp.wait()
+                        return gam, ddd
+                    if mode == "reset_r":
+                        # src windows held delta, n_arr = A delta;
+                        # acc here is (gamma, qd)
+                        bt = sbx[B_sb:B_sb + nU]
+                        rv = bt - n_arr
+                        gam = gam + jnp.sum(rv * rv)
+                        ddd = ddd + jnp.sum(wc * (rv + bt))
+                        wwx[:, pl.ds(0, T)] = rv
+                        cps = [
+                            pltpu.make_async_copy(
+                                wwx.at[:, pl.ds(0, T)],
+                                st_any.at[pl.ds(R, nU),
+                                          pl.ds(t0, T)], sm),
+                            pltpu.make_async_copy(
+                                wwx.at[:, pl.ds(0, T)],
+                                w_any.at[pl.ds(dst_off, nU),
+                                         pl.ds(t0 + h, T)], sm),
+                        ]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
                         return gam, ddd
                     zb = sbx[Z:Z + nU]
                     ss = sbx[S:S + nU]
@@ -1384,6 +1468,10 @@ class StreamSolverHBM(StreamSolver):
                     w_new = wc - alpha * z_new
                     gam = gam + jnp.sum(r_new * r_new)
                     ddd = ddd + jnp.sum(w_new * r_new)
+                    if lm:  # Q sequence: qd = <delta_new, r_new + b>
+                        qdd = qdd + jnp.sum(
+                            d_new * (r_new + sbx[B_sb:B_sb + nU]))
+                    out_acc = (gam, ddd, qdd) if lm else (gam, ddd)
                     if ws_on:
                         # stage into dedicated buffers; this tile's
                         # write DMAs fly through the OTHER buffer set's
@@ -1403,7 +1491,7 @@ class StreamSolverHBM(StreamSolver):
                         wsx[pl.ds(5 * nU, nU)] = w_new
                         for cp in ws_cps(b, t0, dst_off):
                             cp.start()
-                        return gam, ddd
+                        return out_acc
                     sbx[pl.ds(Z, nU)] = z_new
                     sbx[pl.ds(S, nU)] = s_new
                     sbx[pl.ds(Pp, nU)] = p_new
@@ -1412,7 +1500,8 @@ class StreamSolverHBM(StreamSolver):
                     wwx[:, pl.ds(0, T)] = w_new
                     cps = [
                         pltpu.make_async_copy(
-                            sbx, st_any.at[:, pl.ds(t0, T)], sm),
+                            sbx.at[pl.ds(0, 5 * nU)],
+                            st_any.at[:, pl.ds(t0, T)], sm),
                         pltpu.make_async_copy(
                             wwx.at[:, pl.ds(0, T)],
                             w_any.at[pl.ds(dst_off, nU),
@@ -1422,10 +1511,12 @@ class StreamSolverHBM(StreamSolver):
                         cp.start()
                     for cp in cps:
                         cp.wait()
-                    return gam, ddd
+                    return out_acc
 
                 def sweep(src_off, dst_off, alpha, beta):
-                    zero2 = (jnp.float32(0.0), jnp.float32(0.0))
+                    n_acc = 3 if (lm and mode == "iter") else 2
+                    zero = (jnp.float32(0.0),) * n_acc
+                    ws_drain = ws_on and mode == "iter"
                     if n_tiles % 2:
                         def tile(t, acc):
                             t0 = t * T
@@ -1435,8 +1526,8 @@ class StreamSolverHBM(StreamSolver):
                                 0, t0, dst_off, alpha, beta, acc)
 
                         acc = jax.lax.fori_loop(
-                            0, n_tiles, tile, zero2)
-                        if ws_on and not is_init:
+                            0, n_tiles, tile, zero)
+                        if ws_drain:
                             # drain the final tile's staged writes
                             ws_wait(0, (n_tiles - 1) * T, dst_off)
                         return acc
@@ -1456,9 +1547,9 @@ class StreamSolverHBM(StreamSolver):
                         acc = compute(1, tB, dst_off, alpha, beta, acc)
                         return acc
 
-                    acc = jax.lax.fori_loop(0, n_pairs, pair, zero2)
+                    acc = jax.lax.fori_loop(0, n_pairs, pair, zero)
                     wait_reads(0, (n_pairs - 1) * 2 * T, src_off)
-                    if ws_on and not is_init:
+                    if ws_drain:
                         # drain the last pair's staged writes before the
                         # next sweep's reads can touch those rows
                         ws_wait(0, (n_tiles - 2) * T, dst_off)
@@ -1467,28 +1558,98 @@ class StreamSolverHBM(StreamSolver):
 
                 return sweep
 
-            init_sweep = make_sweep(True)
-            iter_sweep = make_sweep(False)
+            init_sweep = make_sweep("init")
+            iter_sweep = make_sweep("iter")
 
             # prologue: w_0 = A_hat r_0 -> slot 1, dd_0 = <w_0, r_0>
             _, dd0 = init_sweep(0, nU, jnp.float32(0.0), jnp.float32(0.0))
 
+            zero_f = jnp.float32(0.0)
+            if not lm:
+                def body(carry):
+                    it, gamma, dd, gamma_prev, alpha_prev = carry
+                    first = it == 0
+                    beta = jnp.where(first, 0.0,
+                                     _sdiv(gamma, gamma_prev))
+                    denom = dd - beta * _sdiv(gamma, alpha_prev)
+                    alpha = jnp.where(first, _sdiv(gamma, dd),
+                                      _sdiv(gamma, denom))
+                    src = nU * ((it + 1) % 2)
+                    dst = nU * (it % 2)
+                    g2, dd2 = iter_sweep(src, dst, alpha, beta)
+                    return it + 1, g2, dd2, gamma, alpha
+
+                jax.lax.while_loop(
+                    lambda c: c[0] < L, body,
+                    (jnp.int32(0), gamma0, dd0, zero_f,
+                     jnp.float32(1.0)),
+                )
+                return
+
+            reset_r_sweep = make_sweep("reset_r")
+
+            def copy_delta(scr_off):
+                """Reset pass A: stage delta (st D rows, no halo) into
+                the free w slot, whose halo rows are still zero from
+                the initial staging (all sweep writes touch only the
+                t0+h center rows)."""
+                def tile(t, _):
+                    t0 = t * T
+                    cp = pltpu.make_async_copy(
+                        st_any.at[pl.ds(D, nU), pl.ds(t0, T)],
+                        sb.at[pl.ds(0, nU)], sem)
+                    cp.start(); cp.wait()
+                    cp = pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        w_any.at[pl.ds(scr_off, nU),
+                                 pl.ds(t0 + h, T)], sem)
+                    cp.start(); cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, tile, 0)
+
             def body(carry):
-                it, gamma, dd, gamma_prev, alpha_prev = carry
+                (it, gamma, dd, gamma_prev, alpha_prev,
+                 Q0, brk, flip) = carry
                 first = it == 0
                 beta = jnp.where(first, 0.0, _sdiv(gamma, gamma_prev))
                 denom = dd - beta * _sdiv(gamma, alpha_prev)
                 alpha = jnp.where(first, _sdiv(gamma, dd),
                                   _sdiv(gamma, denom))
-                src = nU * ((it + 1) % 2)
-                dst = nU * (it % 2)
-                g2, dd2 = iter_sweep(src, dst, alpha, beta)
-                return it + 1, g2, dd2, gamma, alpha
+                src = nU * ((it + 1 + flip) % 2)
+                dst = nU * ((it + flip) % 2)
+                g2, dd2, qd = iter_sweep(src, dst, alpha, beta)
+
+                def reset_branch(_):
+                    # exact residual replacement (Cools/Vanroose-style
+                    # on the one-barrier recurrences; classic contract:
+                    # solverGPUGaussNewton.t:2128-2139): r = b - A
+                    # delta and w = A r recomputed exactly, p/s/z
+                    # recurrences continue.  Slot dance: after the
+                    # sweep, src is free -> stage delta there (A);
+                    # apply it, replace r into st R AND dst's center
+                    # rows as haloed scratch (B); apply dst, write the
+                    # fresh w back into src (C) and FLIP the parity so
+                    # the next sweep reads it from there.
+                    copy_delta(src)
+                    gr, qr = reset_r_sweep(src, dst, zero_f, zero_f)
+                    _, ddr = init_sweep(dst, src, zero_f, zero_f)
+                    return gr, ddr, qr, flip ^ 1
+
+                do_reset = ((it + 1) % period) == 0
+                g2, dd2, qd, flip = jax.lax.cond(
+                    do_reset, reset_branch,
+                    lambda _: (g2, dd2, qd, flip), None)
+                Q1 = 0.5 * qd
+                zeta = (it + 1).astype(jnp.float32) * _sdiv(
+                    Q1 - Q0, Q1)
+                brk = zeta < q_tol
+                return (it + 1, g2, dd2, gamma, alpha, Q1, brk, flip)
 
             jax.lax.while_loop(
-                lambda c: c[0] < L, body,
-                (jnp.int32(0), gamma0, dd0,
-                 jnp.float32(0.0), jnp.float32(1.0)),
+                lambda c: (c[0] < L) & (~c[6]), body,
+                (jnp.int32(0), gamma0, dd0, zero_f, jnp.float32(1.0),
+                 zero_f, jnp.asarray(False), jnp.int32(0)),
             )
 
         any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -1496,10 +1657,10 @@ class StreamSolverHBM(StreamSolver):
         scratch = [
             pltpu.VMEM((nIn, WIN, W), jnp.float32),   # ins windows A
             pltpu.VMEM((nU, WIN, W), jnp.float32),    # w windows A
-            pltpu.VMEM((5 * nU, T, W), jnp.float32),  # state tiles A
+            pltpu.VMEM((NSB, T, W), jnp.float32),     # state [+b] tiles A
             pltpu.VMEM((nIn, WIN, W), jnp.float32),   # ins windows B
             pltpu.VMEM((nU, WIN, W), jnp.float32),    # w windows B
-            pltpu.VMEM((5 * nU, T, W), jnp.float32),  # state tiles B
+            pltpu.VMEM((NSB, T, W), jnp.float32),     # state [+b] tiles B
         ]
         if ws_on:
             scratch += [
@@ -1519,7 +1680,8 @@ class StreamSolverHBM(StreamSolver):
         )
         return pl.pallas_call(
             kernel,
-            in_specs=[any_spec, any_spec, sspec, sspec],
+            in_specs=[any_spec, any_spec, sspec, sspec]
+            + ([sspec] if lm else []),
             out_specs=(any_spec,) * 2,
             out_shape=out_shapes,
             scratch_shapes=scratch,
@@ -1529,13 +1691,14 @@ class StreamSolverHBM(StreamSolver):
         )
 
     def _pipelined_backend(self, interpret):
-        """pcg_backend callable over the pipelined kernel (GN only)."""
+        """pcg_backend callable over the pipelined kernel (GN and LM)."""
         kern = self._build_pipelined_kernel(interpret)
         un, cn = self.unknown_names, self.const_names
         chans = self.chans
         h = self.h
         pn = self.param_names
         nU = sum(chans[n] for n in un)
+        lm = self.plan.config.uses_lambda
 
         def pad_plane(a):
             return jnp.pad(a, ((h, h), (0, 0)))
@@ -1551,15 +1714,27 @@ class StreamSolverHBM(StreamSolver):
                 stack += [pad_plane(p) for p in planes(data["images"][n])]
             for n in un:
                 stack += [pad_plane(p) for p in planes(sq[n])]
+            if lm:
+                for n in un:
+                    stack += [pad_plane(p) for p in planes(scs[n])]
             ins = jnp.stack(stack)
             b = jnp.stack([p for n in un for p in planes(b_hat[n])])
             pvals = jnp.stack(
                 [jnp.asarray(data["params"][n], jnp.float32)
                  for n in pn]
             ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
-            ctl_i = jnp.asarray(
-                sp["lIterations"], jnp.int32).reshape(1, 1)
-            st, _ = kern(ins, b, pvals, ctl_i)
+            if lm:
+                ctl_i = jnp.stack([
+                    jnp.asarray(sp["lIterations"], jnp.int32),
+                    jnp.asarray(sp["residual_reset_period"], jnp.int32),
+                ]).reshape(2, 1)
+                ctl_f = jnp.asarray(
+                    sp["q_tolerance"], jnp.float32).reshape(1, 1)
+                st, _ = kern(ins, b, pvals, ctl_i, ctl_f)
+            else:
+                ctl_i = jnp.asarray(
+                    sp["lIterations"], jnp.int32).reshape(1, 1)
+                st, _ = kern(ins, b, pvals, ctl_i)
             out = {}
             k = 0
             for n in un:
@@ -1577,8 +1752,9 @@ class StreamSolverHBM(StreamSolver):
         """Callable for SolverConfig.pcg_backend: solver/core's step_fn
         delegates the inner PCG solve to the streamed kernel and keeps
         every outer-iteration decision (GN/LM trust region, costs).
-        Dispatches to the pipelined one-sweep kernel (GN default) or the
-        classic three-sweep kernel per self.variant."""
+        Dispatches to the pipelined one-sweep kernel (GN default;
+        opt-in for LM) or the classic three-sweep kernel per
+        self.variant."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         if self.variant == "pipelined":

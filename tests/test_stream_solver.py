@@ -184,6 +184,49 @@ def test_stream_hbm_lm_matches_xla(fuse):
         )
 
 
+def test_stream_hbm_lm_pipelined_matches_xla():
+    """LM on the PIPELINED one-barrier kernel (opt-in via
+    variant='pipelined'): scs diagonal in the apply, in-sweep Q
+    accumulation, zeta exit, and the 3-pass exact residual
+    replacement with slot-parity flip.  15 linear iterations with
+    period 10 exercises the reset branch."""
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 4)
+    plan.set_solver_parameter("lIterations", 15)
+    assert int(plan.solver_params["residual_reset_period"]) == 10
+    ref_cost, x_ref = _xla_cost(plan, inputs, 4)
+    solver = ssv.StreamSolverHBM(plan, variant="pipelined")
+    assert solver.variant == "pipelined"
+    out = solver.solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+    for n in x_ref:
+        np.testing.assert_allclose(
+            np.asarray(out["x"][n]), np.asarray(x_ref[n]),
+            rtol=2e-3, atol=1e-4,
+        )
+
+
+def test_stream_hbm_lm_pipelined_odd_tiles():
+    """Pipelined LM through the serial (odd tile count) sweep path,
+    no reset inside the linear loop (period > lIterations)."""
+    W, H = 128, 24  # T=8 -> 3 tiles
+    inputs = _warp_inputs(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 8)
+    ref_cost, _ = _xla_cost(plan, inputs, 2)
+    solver = ssv.StreamSolverHBM(plan, tile=8, variant="pipelined")
+    assert solver.variant == "pipelined" and solver.n_tiles % 2 == 1
+    out = solver.solve(inputs)
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+
+
 def test_stream_hbm_supports_big():
     """HBM-state mode admits sizes the resident-state mode rejects."""
     state = opt_tpu.NewState()
