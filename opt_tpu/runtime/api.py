@@ -679,10 +679,13 @@ class Plan:
     def _pick_engine(self, engine):
         """Resolve engine="auto" to the measured-best path for this plan:
         grids past the XLA VMEM-carry regime (~>=2048^2 pixels,
-        docs/ROOFLINE.md) route to the streamed HBM engine when eligible;
-        everything else stays on the fused XLA program.  OPT_TPU_ENGINE
-        overrides the auto choice (ops escape hatch, like
-        OPT_TPU_GRAPH_MODE for the graph engine)."""
+        docs/ROOFLINE.md) route to the streamed HBM engine when eligible
+        -- GN via the pipelined kernel (2048^2 1.9x / 4096^2 2.4x over
+        XLA) and LM via the classic kernel (2048^2 LM: stream 1285.6 ms
+        vs XLA 3041.9 ms, 2.37x, docs/sweep_tpu_r3.csv); everything
+        else stays on the fused XLA program.  OPT_TPU_ENGINE overrides
+        the auto choice (ops escape hatch, like OPT_TPU_GRAPH_MODE for
+        the graph engine)."""
         if engine == "auto":
             import os
 
@@ -690,10 +693,6 @@ class Plan:
         if engine != "auto":
             return engine
         if self.spec.graphs or not self.spec.images:
-            return "xla"
-        if self.config.uses_lambda:
-            # only the GN (pipelined) stream engine has measured wins
-            # (docs/ROOFLINE.md); LM streaming stays opt-in
             return "xla"
         shape = next(iter(self.spec.images.values())).ispace.shape
         if len(shape) != 2:

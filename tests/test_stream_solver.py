@@ -340,11 +340,16 @@ def test_engine_env_override(monkeypatch):
     assert big._pick_engine("stream_hbm") == "stream_hbm"
 
 
-def test_auto_engine_lm_stays_xla():
-    """LM plans stay on XLA in auto mode (stream LM is opt-in until a
-    measured win exists)."""
+def test_auto_engine_lm_routes_stream():
+    """LM plans past the VMEM-carry regime route to the streamed
+    engine too: measured 2048^2 LM stream 1285.6 ms vs XLA 3041.9 ms
+    (docs/sweep_tpu_r3.csv); small LM grids stay on XLA."""
     state = opt_tpu.NewState()
     big = state.problem_plan(
         state.problem_define(energies.image_warping, "LMGPU"),
         [2048, 2048])
-    assert big._pick_engine("auto") == "xla"
+    assert big._pick_engine("auto") == "stream_hbm"
+    small = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"),
+        [512, 512])
+    assert small._pick_engine("auto") == "xla"
