@@ -244,6 +244,31 @@ def aux_large_grid(err):
         f"cost_xla={cost_xla:.4f}", file=err,
     )
 
+    # LM flavour through the auto route (stream since round 3: classic
+    # kernel 1285.6 ms vs XLA 3041.9 ms at this size, sweep_tpu_r3.csv)
+    plan_lm = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"), [W, H])
+    plan_lm.set_solver_parameter("nIterations", n_outer)
+    plan_lm.set_solver_parameter("lIterations", n_lin)
+    assert plan_lm._pick_engine("auto") == "stream_hbm"
+    eng_lm = StreamSolverHBM(plan_lm)
+    out = eng_lm.solve(dev)  # warmup + compile
+    cost_lm = out["final_cost"]
+    t_lm = []
+    for rep in (1, 2):
+        di = dict(dev)
+        di["Offset"] = dev["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(di["Offset"])
+        t0 = time.perf_counter()
+        out = eng_lm.solve(di)
+        t_lm.append((time.perf_counter() - t0) * 1e3)
+    print(
+        f"# aux image_warping_2048_lm_solve(8x100): "
+        f"stream_hbm={min(t_lm):.1f} ms (T={eng_lm.tile} "
+        f"{eng_lm.variant}{'+fused' if eng_lm.fuse_beta else ''}) "
+        f"cost={cost_lm:.4f}", file=err,
+    )
+
 
 def aux_sfs(err):
     """shape_from_shading at the reference perf config (nonLinearIter=60,
