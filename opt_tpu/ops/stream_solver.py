@@ -248,6 +248,9 @@ HBM_VMEM_LIMIT_BYTES = (_VMEM_MB + 16) * 1024 * 1024
 # writes through dedicated buffers so the write DMAs overlap the next
 # tile's compute (waited one buffer-set cycle later).  Costs 2x6xnU tile
 # buffers of VMEM -- pair with a raised OPT_TPU_STREAM_VMEM_MB.
+# Measured NEGATIVE on v5e (2048^2 T=64: 1164 vs 1147 ms; 4096^2 T=32:
+# 4810 vs 4820 ms -- docs/ROOFLINE.md); kept as a recorded experiment,
+# off by default.
 _WSTAGE = _os.environ.get("OPT_TPU_STREAM_WSTAGE", "0") == "1"
 
 
