@@ -718,10 +718,12 @@ class StreamSolverHBM(StreamSolver):
             # reduction barrier per iteration vs classic's two); falls
             # back to classic when its larger buffer set finds no tile.
             # LM runs pipelined only on request (variant= or
-            # OPT_TPU_STREAM_LM_PIPE=1) until a measured win exists:
-            # its periodic exact residual replacement costs 3 extra
-            # passes per reset (amortized ~0.3 sweeps/iter at the
-            # default period 10).
+            # OPT_TPU_STREAM_LM_PIPE=1): measured SLOWER than classic
+            # on v5e (2048^2 8x100: 1405.1 vs 1285.6 ms,
+            # docs/sweep_tpu_r3.csv) -- the exact residual
+            # replacement's 3 extra passes per reset (+0.3 sweeps/iter
+            # at period 10) plus the per-sweep b-tile read outweigh
+            # the saved barrier sweep.
             pick, _ = _hbm_tile_search(plan, tile, variant="pipelined")
         if pick is not None:
             self.variant = "pipelined"
