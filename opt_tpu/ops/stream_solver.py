@@ -263,7 +263,7 @@ def _estimate_vmem(plan, tile, h, H, W, state_in="vmem",
     """Resident state + windows + a temp model (factor per residual
     channel on the window shape, as calibrated for the VMEM engine).
     state_in='hbm': the state vectors are streamed, so only their
-    window/tile buffers count.  variant='pipelined' (GN-only one-sweep
+    window/tile buffers count.  variant='pipelined' (one-sweep
     PCG): per buffer set one ins window + one w window + the stacked
     5-vector state tile."""
     funcs = plan.funcs
