@@ -207,8 +207,12 @@ def supports_hbm(plan, max_tile=None):
 # pixel count above which Plan.solve(engine="auto") routes eligible grid
 # problems to StreamSolverHBM: calibrated on v5e (docs/ROOFLINE.md --
 # XLA keeps PCG carries (partly) VMEM-resident through 1024^2 and wins
-# there; the streamed engine wins from 2048^2 up)
+# there for GN; the streamed engine wins from 2048^2 up).  LM's XLA
+# program is much heavier (1024^2 8x100: XLA 456.6 ms vs streamed
+# classic 323.1 ms, docs/sweep_tpu_r3.csv), so its crossover sits a
+# size lower.
 AUTO_STREAM_MIN_PIXELS = 2048 * 2048
+AUTO_STREAM_MIN_PIXELS_LM = 1024 * 1024
 
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 TEMP_PLANES_FACTOR = 4

@@ -699,7 +699,10 @@ class Plan:
             return "xla"
         from ..ops import stream_solver
 
-        if (shape[0] * shape[1] >= stream_solver.AUTO_STREAM_MIN_PIXELS
+        min_px = (stream_solver.AUTO_STREAM_MIN_PIXELS_LM
+                  if self.config.uses_lambda
+                  else stream_solver.AUTO_STREAM_MIN_PIXELS)
+        if (shape[0] * shape[1] >= min_px
                 and stream_solver.supports_hbm(self)):
             return "stream_hbm"
         return "xla"

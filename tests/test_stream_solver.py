@@ -341,14 +341,20 @@ def test_engine_env_override(monkeypatch):
 
 
 def test_auto_engine_lm_routes_stream():
-    """LM plans past the VMEM-carry regime route to the streamed
-    engine too: measured 2048^2 LM stream 1285.6 ms vs XLA 3041.9 ms
-    (docs/sweep_tpu_r3.csv); small LM grids stay on XLA."""
+    """LM plans route to the streamed engine from 1024^2 up (a size
+    below the GN threshold: LM's XLA program is heavier -- 1024^2
+    stream 323.1 ms vs XLA 456.6 ms, 2048^2 1285.6 vs 3041.9,
+    docs/sweep_tpu_r3.csv); small LM grids stay on XLA."""
     state = opt_tpu.NewState()
-    big = state.problem_plan(
-        state.problem_define(energies.image_warping, "LMGPU"),
-        [2048, 2048])
-    assert big._pick_engine("auto") == "stream_hbm"
+    for size in (1024, 2048):
+        big = state.problem_plan(
+            state.problem_define(energies.image_warping, "LMGPU"),
+            [size, size])
+        assert big._pick_engine("auto") == "stream_hbm"
+    gn_mid = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [1024, 1024])
+    assert gn_mid._pick_engine("auto") == "xla"  # GN crossover is 2048^2
     small = state.problem_plan(
         state.problem_define(energies.image_warping, "LMGPU"),
         [512, 512])
