@@ -208,11 +208,12 @@ def supports_hbm(plan, max_tile=None):
 # problems to StreamSolverHBM: calibrated on v5e (docs/ROOFLINE.md --
 # XLA keeps PCG carries (partly) VMEM-resident through 1024^2 and wins
 # there for GN; the streamed engine wins from 2048^2 up).  LM's XLA
-# program is much heavier (1024^2 8x100: XLA 456.6 ms vs streamed
-# classic 323.1 ms, docs/sweep_tpu_r3.csv), so its crossover sits a
-# size lower.
+# program is much heavier, so its crossover sits far lower: measured
+# stream wins at 512^2 (91.7 vs 106.4 ms) and 1024^2 (323.1 vs
+# 456.6 ms) while XLA still wins at 256^2 (47.6 vs 53.1 ms) -- all
+# 8x100, docs/sweep_tpu_r3.csv.
 AUTO_STREAM_MIN_PIXELS = 2048 * 2048
-AUTO_STREAM_MIN_PIXELS_LM = 1024 * 1024
+AUTO_STREAM_MIN_PIXELS_LM = 512 * 512
 
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 TEMP_PLANES_FACTOR = 4
@@ -1837,7 +1838,15 @@ class StreamSolverHBM(StreamSolver):
                 pcg_variant="classic",
                 pcg_backend=self.as_pcg_backend(interpret),
             )
-            fns = make_solver(plan.funcs, cfg)
+            from .stream_outer import ChunkedOuterFuncs, chunked_outer_enabled
+
+            # past ~4096^2 the whole-grid OUTER step (cost/JtF/diag)
+            # itself exceeds HBM; evaluate it in row strips instead
+            # (ops/stream_outer.py -- measured: 8192^2 needs 33.4 GB
+            # whole-grid vs 15.75 GB on v5e)
+            funcs = (ChunkedOuterFuncs(plan)
+                     if chunked_outer_enabled(plan) else plan.funcs)
+            fns = make_solver(funcs, cfg)
             self._kern_cache[key] = jax.jit(fns[4])
         full = self._kern_cache[key]
         x, data = plan.bind(inputs)

@@ -250,6 +250,19 @@ def test_supports_hbm_divisor_aware():
     assert 1000 % solver.tile == 0
 
 
+def test_supports_hbm_8192():
+    """8192^2 stays solvable: the XLA fused program OOMs at compile
+    (needs 32.7 GB vs 15.75 GB v5e HBM, /tmp chain-4 r3 record) but the
+    streamed HBM engine is eligible and auto-picked there — it extends
+    the solvable grid range past XLA's, not just past VMEM."""
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [8192, 8192])
+    assert ssv.supports_hbm(plan)
+    assert plan._pick_engine("auto") == "stream_hbm"
+
+
 def test_auto_engine_selection():
     """Plan.solve(engine='auto') routes >=2048^2 eligible grids to the
     streamed HBM engine and leaves small grids / graphs on XLA."""
@@ -341,12 +354,13 @@ def test_engine_env_override(monkeypatch):
 
 
 def test_auto_engine_lm_routes_stream():
-    """LM plans route to the streamed engine from 1024^2 up (a size
-    below the GN threshold: LM's XLA program is heavier -- 1024^2
-    stream 323.1 ms vs XLA 456.6 ms, 2048^2 1285.6 vs 3041.9,
-    docs/sweep_tpu_r3.csv); small LM grids stay on XLA."""
+    """LM plans route to the streamed engine from 512^2 up (sizes far
+    below the GN threshold: LM's XLA program is heavier -- 512^2
+    stream 91.7 ms vs XLA 106.4, 1024^2 323.1 vs 456.6, 2048^2 1285.6
+    vs 3041.9, docs/sweep_tpu_r3.csv); 256^2 and below stay on XLA
+    (47.6 vs 53.1 ms)."""
     state = opt_tpu.NewState()
-    for size in (1024, 2048):
+    for size in (512, 1024, 2048):
         big = state.problem_plan(
             state.problem_define(energies.image_warping, "LMGPU"),
             [size, size])
@@ -357,5 +371,5 @@ def test_auto_engine_lm_routes_stream():
     assert gn_mid._pick_engine("auto") == "xla"  # GN crossover is 2048^2
     small = state.problem_plan(
         state.problem_define(energies.image_warping, "LMGPU"),
-        [512, 512])
+        [256, 256])
     assert small._pick_engine("auto") == "xla"
