@@ -160,21 +160,35 @@ class ChunkedOuterFuncs:
         return self.base.mask_unknown_tree(tree, masks)
 
     # -- strip plumbing ---------------------------------------------------
+    #
+    # Every full-height array in the strip path is a CHANNEL PLANE
+    # (H+2r, W): on v5e, channel-last (H, W, 1) carries through the
+    # strided-slice/update loop got assigned layout {2,1,0} (channel
+    # minor-most), whose (8,128) tiling pads the degenerate dim 1->128
+    # -- a single 8192^2 plane then wants 32 GiB and the compile OOMs.
+    # Planes sidestep the trap; windows re-stack channel-last per strip
+    # (small: (S+2r, W, C)) for the evaluator.
 
-    def _pad(self, arr):
+    def _pad_planes(self, arr):
         r = self.r
-        return jnp.pad(arr, ((r, r),) + ((0, 0),) * (arr.ndim - 1))
+        return [
+            jnp.pad(arr[..., c], ((r, r), (0, 0)))
+            for c in range(arr.shape[-1])
+        ]
 
     def _padded(self, x, data):
-        xp = {n: self._pad(v) for n, v in x.items()}
-        dp = {n: self._pad(v) for n, v in data["images"].items()}
+        xp = {n: self._pad_planes(v) for n, v in x.items()}
+        dp = {n: self._pad_planes(v) for n, v in data["images"].items()}
         return xp, dp
 
-    def _window(self, padded, g0):
+    def _window(self, planes, g0):
         """Rows [g0-r, g0+S+r) of the grid == rows [g0, g0+S+2r) of the
-        padded array (g0 traced)."""
-        return jax.lax.dynamic_slice_in_dim(
-            padded, g0, self.S + 2 * self.r, axis=0
+        padded planes (g0 traced), re-stacked channel-last."""
+        rows = self.S + 2 * self.r
+        return jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(p, g0, rows, axis=0)
+             for p in planes],
+            axis=-1,
         )
 
     def _windows(self, xp, dp, data, g0):
@@ -187,6 +201,16 @@ class ChunkedOuterFuncs:
         # global coordinate of the window's local row 0
         self.wfuncs.coord_offsets = (g0 - self.r, 0)
         return xw, dw
+
+    def _acc_add(self, plane, g0, upd):
+        """plane[g0 : g0+S+2r] += upd (sequential strips make the
+        overlapping read-modify-write exact)."""
+        win = jax.lax.dynamic_slice_in_dim(
+            plane, g0, self.S + 2 * self.r, axis=0
+        )
+        return jax.lax.dynamic_update_slice_in_dim(
+            plane, win + upd, g0, axis=0
+        )
 
     def _center_zero(self, f):
         """Zero non-center rows of a (C, rows, W) stacked field."""
@@ -229,7 +253,10 @@ class ChunkedOuterFuncs:
         wf = self.wfuncs
         r = self.r
         acc = {
-            n: jnp.zeros((self.H + 2 * r,) + s[1:], self.dtype)
+            n: [
+                jnp.zeros((self.H + 2 * r, self.W), self.dtype)
+                for _ in range(s[-1])
+            ]
             for n, s in self.unknown_shapes.items()
         }
 
@@ -240,18 +267,19 @@ class ChunkedOuterFuncs:
             r0c = jax.tree_util.tree_map(self._center_zero, r0w)
             jt_fn = jax.linear_transpose(jvp_fn, xw)
             (g,) = jt_fn(r0c)
-            out = {}
-            for n in acc:
-                win = jax.lax.dynamic_slice_in_dim(
-                    acc[n], g0, self.S + 2 * r, axis=0
-                )
-                out[n] = jax.lax.dynamic_update_slice_in_dim(
-                    acc[n], win + g[n], g0, axis=0
-                )
-            return out
+            return {
+                n: [
+                    self._acc_add(plane, g0, g[n][..., c])
+                    for c, plane in enumerate(chans)
+                ]
+                for n, chans in acc.items()
+            }
 
         acc = self._foreach_strip(body, acc)
-        return {n: v[r : r + self.H] for n, v in acc.items()}
+        return {
+            n: jnp.stack([p[r : r + self.H] for p in chans], axis=-1)
+            for n, chans in acc.items()
+        }
 
     # -- diag(JtJ) --------------------------------------------------------
 
@@ -285,20 +313,13 @@ class ChunkedOuterFuncs:
                     upd[a.image.name][a.channel] = (
                         upd[a.image.name][a.channel] + contrib
                     )
-            out = {}
-            for n, chans in acc.items():
-                new = []
-                for c, plane in enumerate(chans):
-                    w = jax.lax.dynamic_slice_in_dim(
-                        plane, g0, self.S + 2 * r, axis=0
-                    )
-                    new.append(
-                        jax.lax.dynamic_update_slice_in_dim(
-                            plane, w + upd[n][c], g0, axis=0
-                        )
-                    )
-                out[n] = new
-            return out
+            return {
+                n: [
+                    self._acc_add(plane, g0, upd[n][c])
+                    for c, plane in enumerate(chans)
+                ]
+                for n, chans in acc.items()
+            }
 
         acc = self._foreach_strip(body, acc)
         return {
@@ -310,7 +331,7 @@ class ChunkedOuterFuncs:
 
     def model_cost(self, r0_token, jvp_fn, delta, x, data):
         xp, dp = self._padded(x, data)
-        deltap = {n: self._pad(v) for n, v in delta.items()}
+        deltap = {n: self._pad_planes(v) for n, v in delta.items()}
         wf = self.wfuncs
 
         def body(g0, total):
