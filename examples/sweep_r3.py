@@ -85,7 +85,8 @@ def time_engine(eng, inputs, perturb="Offset", reps=2):
            for k, v in inputs.items()}
     out = eng.solve(dev)  # warmup + compile
     cost = out["final_cost"]
-    times = []
+    out = None  # 8192^2: keeping the previous solve's x alive pushed
+    times = []  # the next solve over the HBM limit (ResourceExhausted)
     for rep in range(1, reps + 1):
         di = dict(dev)
         di[perturb] = dev[perturb] + np.float32(rep * 1e-6)
@@ -94,6 +95,7 @@ def time_engine(eng, inputs, perturb="Offset", reps=2):
         out = eng.solve(di)
         cost = out["final_cost"]
         times.append((time.perf_counter() - t0) * 1e3)
+        out = None
     return min(times), cost
 
 
