@@ -132,6 +132,83 @@ def cmd_large_grid(sizes, modes):
                 n_outer, n_lin, ms, cost)
 
 
+def cmd_large_grid_lm(sizes, modes):
+    """LM flavour of large_grid: XLA vs the streamed classic kernel
+    (the measured LM default; pipelined LM recorded slower,
+    docs/ROUND3_TODO.md #10)."""
+    from opt_tpu.ops.stream_solver import StreamSolverHBM
+
+    n_outer, n_lin = 8, 100
+    for size in sizes:
+        inputs = warp_inputs(size, size)
+        if "xla" in modes:
+            plan = _plan("image_warping", [size, size], kind="LMGPU")
+            try:
+                ms, cost = time_xla(plan, inputs, n_outer, n_lin)
+                row("image_warping", size, "xla_lm", "LMGPU",
+                    n_outer, n_lin, ms, cost)
+            except Exception as e:
+                print(f"# xla_lm@{size} failed: {e!r:.150}",
+                      file=sys.stderr, flush=True)
+        for variant in ("classic", "pipelined"):
+            if variant not in modes:
+                continue
+            plan = _plan("image_warping", [size, size], kind="LMGPU")
+            plan.set_solver_parameter("nIterations", n_outer)
+            plan.set_solver_parameter("lIterations", n_lin)
+            tile = int(os.environ.get("OPT_TPU_SWEEP_TILE", "0")) or None
+            eng = StreamSolverHBM(plan, tile=tile, variant=variant)
+            ms, cost = time_engine(eng, inputs)
+            tag = (f"stream_hbm_t{eng.tile}_{eng.variant}"
+                   + ("_fused" if eng.fuse_beta else "") + "_lm")
+            row("image_warping", size, tag, "LMGPU",
+                n_outer, n_lin, ms, cost)
+
+
+def volumetric_inputs(side, seed=0):
+    """Synthetic side^3 ARAP volume: rest grid + pinned bottom layer and
+    a twisted top layer (same construction shape as the example app,
+    examples/volumetric_mesh_deformation.py, at benchmark scale)."""
+    rng = np.random.RandomState(seed)
+    n = side
+    ii, jj, kk = np.meshgrid(
+        np.arange(n, dtype=np.float32),
+        np.arange(n, dtype=np.float32),
+        np.arange(n, dtype=np.float32),
+        indexing="ij",
+    )
+    grid = np.stack([ii, jj, kk], axis=-1)  # (D, H, W, 3)
+    cons = np.full_like(grid, -np.inf)
+    cons[:, 0, :, :] = grid[:, 0, :, :]
+    top = grid[:, n - 1, :, :]
+    cons[:, n - 1, :, :] = top + np.array([2.5, -2.5, 0.0], np.float32)
+    return {
+        "Offset": grid + 0.01 * rng.randn(*grid.shape).astype(np.float32),
+        "UrShape": grid.copy(),
+        "Angle": np.zeros_like(grid),
+        "Constraints": cons.astype(np.float32),
+        "w_fitSqrt": np.sqrt(1.0),
+        "w_regSqrt": np.sqrt(0.05),
+    }
+
+
+def cmd_volumetric(sides):
+    """3D-grid scaling on the fused XLA path (the only engine eligible
+    for 3D ispaces -- StreamSolverHBM is 2D-only by design)."""
+    n_outer, n_lin = 8, 100
+    for side in sides:
+        inputs = volumetric_inputs(side)
+        plan = _plan("volumetric_mesh_deformation", [side, side, side])
+        try:
+            ms, cost = time_xla(plan, inputs, n_outer, n_lin)
+        except Exception as e:
+            print(f"# volumetric@{side} failed: {e!r:.150}",
+                  file=sys.stderr, flush=True)
+            continue
+        row("volumetric", f"{side}^3", "xla", "gaussNewtonGPU",
+            n_outer, n_lin, ms, cost)
+
+
 def cmd_materialized(sizes):
     n_outer, n_lin = 8, 100
     for size in sizes:
@@ -243,8 +320,9 @@ def cmd_graph_boundary(chord_counts):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["large_grid", "materialized",
-                                   "graph_mat", "graph_boundary"])
+    p.add_argument("cmd", choices=["large_grid", "large_grid_lm",
+                                   "materialized", "graph_mat",
+                                   "graph_boundary", "volumetric"])
     p.add_argument("args", nargs="*", type=int)
     p.add_argument("--modes", default="xla,pipelined")
     a = p.parse_args()
@@ -253,6 +331,11 @@ def main():
     if a.cmd == "large_grid":
         cmd_large_grid(a.args or [2048, 4096],
                        set(a.modes.split(",")))
+    elif a.cmd == "large_grid_lm":
+        cmd_large_grid_lm(a.args or [2048, 4096],
+                          set(a.modes.split(",")))
+    elif a.cmd == "volumetric":
+        cmd_volumetric(a.args or [64, 128, 192])
     elif a.cmd == "materialized":
         cmd_materialized(a.args or [1024, 2048, 4096])
     elif a.cmd == "graph_mat":
