@@ -1,0 +1,577 @@
+"""Streamed HBM-state PCG engine for 3-D (volumetric) grids.
+
+The 2-D engine (ops/stream_solver.StreamSolverHBM) tiles rows of a
+(H, W) grid; its halo is a few W-rows, so halo traffic is negligible.
+A 3-D grid tiled the same way (along D only) pays a halo of FULL
+(H, W) planes per window: at 256^3 one channel-plane is 256 KB, so a
+2*radius halo around a feasible tile more than doubles the streamed
+traffic and the window set does not fit VMEM at any tile.  This engine
+therefore tiles TWO axes:
+
+    D  (array axis 0, Mosaic-UNTILED)   -> exact halo h_d = 2r, any
+                                           tile size (no alignment)
+    H  (array axis 1, sublane axis)     -> halo h_h = roundup(2r, 8),
+                                           tile multiple of 8
+    W  (array axis 2, lane axis)        -> whole rows, W % 128 == 0
+
+Windows are (T_d + 2h_d, T_h + 2h_h, W) channel planes; the evaluator
+is the SAME traced ProblemFunctions machinery as the 2-D engine
+(kernel_safe channel planes; bounds / Index at global coordinates via
+coord_offsets = (d0 - h_d, r0 - h_h, 0)); validated against the
+whole-grid jax.linearize/transpose apply in
+examples/probe_3d_window2.py.
+
+The PCG loop is the pipelined (one-barrier, Ghysels & Vanroose)
+recurrence of StreamSolverHBM._build_pipelined_kernel, GN only: both
+reductions use the previous sweep's vectors, so each iteration is ONE
+double-buffered pass over the (n_td x n_th) tile grid reading
+[ins window | w window | stacked 5-vector state tile] and writing the
+updated state + the ping-ponged w (A/B slot pair: w halo rows are read
+by neighbouring tiles in the same sweep).  LM volumetric solves stay
+on the fused XLA path (Plan.solve engine="xla").
+
+Same hat-space math as the 2-D engine: PCG runs on
+A_hat = S (JtJ) S with S = sqrt(guarded_invert(diag JtJ)), excluded
+unknowns get S = 0.  Reference role: the hand-written volumetric CUDA
+solver (reference: examples/volumetric_mesh_deformation/src/).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compile.plan_fns import ProblemFunctions
+from ..dsl import expr as E
+from ..dsl.env import EnergyEnv
+from ..dsl.spec import ProblemSpec
+from .stream_solver import (
+    LANE,
+    SUBLANE,
+    HBM_TEMP_PLANES_FACTOR,
+    _hbm_budget_bytes,
+    _hbm_limit_bytes,
+    _roundup,
+)
+
+
+def _stencil_radius_axis(spec, axis):
+    """Max |offset| along array axis (axis 0 = last declared dim)."""
+    radius = 0
+    nd = None
+    for im in spec.images.values():
+        nd = im.ispace.ndims
+        break
+
+    def on_node(a):
+        nonlocal radius
+        if isinstance(a, E.ImageAccess) and isinstance(a.index, E.Offset):
+            off = a.index.data
+            radius = max(radius, abs(int(off[nd - 1 - axis])))
+        elif isinstance(a, E.ComputedAccess):
+            E.visit(a.expanded(), on_node)
+
+    for exp in list(spec.terms) + list(spec.excludes):
+        E.visit(exp, on_node)
+    return radius
+
+
+def _n_res_channels(funcs):
+    return sum(
+        len(g.exprs) for g in funcs.groups if g.kind == "centered"
+    )
+
+
+def _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W):
+    funcs = plan.funcs
+    nU = sum(s[-1] for s in funcs.unknown_shapes.values())
+    nC = sum(
+        im.channels for n, im in plan.spec.images.items()
+        if not im.is_unknown and n not in funcs.aliases
+    )
+    nIn = 2 * nU + nC
+    WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
+    win_elems = WIN_d * WIN_h * W
+    windows = 2 * (nIn + nU) * win_elems * 4        # ins + w (A+B)
+    state = 2 * 5 * nU * T_d * T_h * W * 4          # z|s|p|d|r (A+B)
+    temps = int(
+        HBM_TEMP_PLANES_FACTOR * _n_res_channels(funcs) * win_elems * 4
+    )
+    return windows + state + temps
+
+
+def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
+    """Feasible (T_d, T_h) minimizing the halo traffic amplification
+    (WIN_d/T_d)*(WIN_h/T_h) under the pipelined VMEM budget; ties break
+    toward fewer tiles.  Returns (T_d, T_h) or None."""
+    shape = next(iter(plan.spec.images.values())).ispace.shape
+    if len(shape) != 3:
+        return None
+    D, H, W = shape
+    r_d = _stencil_radius_axis(plan.spec, 0)
+    r_h = _stencil_radius_axis(plan.spec, 1)
+    h_d = max(2 * r_d, 1)
+    h_h = _roundup(max(2 * r_h, 1), SUBLANE)
+    budget = _hbm_budget_bytes("pipelined")
+    best = None
+    for T_d in range(1, min(D, max_tile_d or 64) + 1):
+        if D % T_d:
+            continue
+        for T_h in range(SUBLANE, min(H, max_tile_h or 256) + 1, SUBLANE):
+            if H % T_h or T_h < h_h:
+                continue
+            if _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W) > budget:
+                continue
+            amp = ((T_d + 2 * h_d) / T_d) * ((T_h + 2 * h_h) / T_h)
+            n_tiles = (D // T_d) * (H // T_h)
+            key = (amp, n_tiles)
+            if best is None or key < best[0]:
+                best = (key, (T_d, T_h))
+    return best[1] if best else None
+
+
+def supports3d(plan, max_tile_d=None, max_tile_h=None):
+    """Eligibility: GN, one 3-D f32 grid ispace, no graphs/SampledImage,
+    W % 128 == 0, H % 8 == 0, and a feasible tile pair under the VMEM
+    budget."""
+    if plan.config.uses_lambda or plan.spec.graphs:
+        return False
+    if plan.funcs.dtype != jnp.float32:
+        return False
+    keys = {im.ispace.key() for im in plan.spec.images.values()}
+    if len(keys) != 1:
+        return False
+    for g in plan.funcs.groups:
+        if g.kind != "centered" or g.ispace.ndims != 3:
+            return False
+    has_sampled = [False]
+
+    def _chk(a):
+        if isinstance(a, E.SampledAccess):
+            has_sampled[0] = True
+
+    for exp in plan.spec.terms:
+        E.visit(exp, _chk)
+    if has_sampled[0]:
+        return False
+    D, H, W = next(iter(plan.spec.images.values())).ispace.shape
+    if W % LANE or H % SUBLANE:
+        return False
+    return _tile_search3d(plan, max_tile_d, max_tile_h) is not None
+
+
+class StreamSolver3D:
+    """Two-axis-tiled streamed HBM-state pipelined PCG for 3-D grids."""
+
+    def __init__(self, plan, tile_d=None, tile_h=None):
+        assert supports3d(plan, tile_d, tile_h), (
+            "plan not eligible for the 3-D streamed engine"
+        )
+        self.plan = plan
+        self.variant = "pipelined"
+        funcs = plan.funcs
+        D, H, W = next(iter(plan.spec.images.values())).ispace.shape
+        self.D, self.H, self.W = D, H, W
+        self.tile_d, self.tile_h = _tile_search3d(plan, tile_d, tile_h)
+        self.h_d = max(2 * _stencil_radius_axis(plan.spec, 0), 1)
+        self.h_h = _roundup(
+            max(2 * _stencil_radius_axis(plan.spec, 1), 1), SUBLANE
+        )
+        self.n_td = D // self.tile_d
+        self.n_th = H // self.tile_h
+        self.n_tiles = self.n_td * self.n_th
+
+        # tile-window ProblemFunctions: window dims (WIN_d, WIN_h, W)
+        # with GLOBAL real shapes so bounds/Index use global coords
+        WIN_d = self.tile_d + 2 * self.h_d
+        WIN_h = self.tile_h + 2 * self.h_h
+        dims_ext = list(plan.dims)        # [W, H, D] declared order
+        dims_ext[-1] = WIN_d
+        dims_ext[-2] = WIN_h
+        spec_t = ProblemSpec()
+        env = EnergyEnv(spec_t, dims_ext)
+        from ..runtime.api import _run_energy
+
+        _run_energy(plan.problem.energy, env)
+        real_shapes = {
+            im.ispace.key(): im.ispace.shape
+            for im in plan.spec.images.values()
+        }
+        self.tfuncs = ProblemFunctions(
+            spec_t, funcs.dtype, real_shapes=real_shapes, kernel_safe=True
+        )
+        self.unknown_names = sorted(funcs.unknown_shapes)
+        self.const_names = sorted(
+            n for n, im in plan.spec.images.items()
+            if not im.is_unknown and n not in funcs.aliases
+        )
+        self.param_names = sorted(plan.spec.params)
+        self.chans = {
+            n: plan.spec.images[n].channels
+            for n in self.unknown_names + self.const_names
+        }
+        self._kern_cache = {}
+
+    # -- the pipelined kernel ----------------------------------------------
+
+    def _build_pipelined_kernel(self, interpret):
+        """GN pipelined PCG over the (n_td x n_th) tile grid; see the
+        module docstring.  w arrives as a ZERO-INITIALIZED input aliased
+        to its output workspace (its edge halos must read 0 and staging
+        only writes tile centers -- the 2-D kernel zero-fills halo rows
+        in-kernel instead, which for 3-D would need full-plane fills)."""
+        T_d, T_h = self.tile_d, self.tile_h
+        h_d, h_h = self.h_d, self.h_h
+        D, H, W = self.D, self.H, self.W
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        tf = self.tfuncs
+        n_th = self.n_th
+        n_tiles = self.n_tiles
+        nU = sum(chans[n] for n in un)
+        nC = sum(chans[n] for n in cn)
+        nIn = 2 * nU + nC
+        WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
+        Z, S, Pp, Dd, R = 0, nU, 2 * nU, 3 * nU, 4 * nU
+
+        def coords(t):
+            """Flat tile index -> (d0, r0) in UNPADDED grid coords; r0
+            carries a sublane-divisibility proof (multiply by the
+            literal T_h; Mosaic cannot recover it through // or %)."""
+            td = t // n_th
+            th = t % n_th
+            return td * T_d, pl.multiple_of(th * T_h, SUBLANE)
+
+        def kernel(ins_any, b_any, w_in, pref, ctl_i,
+                   st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
+                   sem, sem2):
+            del w_in  # aliased to w_any
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+            L = ctl_i[0, 0]
+            bufs = ((insw, ww, sb, sem), (insw2, ww2, sb2, sem2))
+
+            def _sdiv(a, bb):
+                return jnp.where(
+                    bb != 0.0, a / jnp.where(bb != 0.0, bb, 1.0), 0.0)
+
+            # ---- staging: r=b, z=s=p=delta=0, w slot0 center=b -------
+            sb[pl.ds(0, nU)] = jnp.zeros((nU, T_d, T_h, W), jnp.float32)
+
+            def stage(t, an):
+                d0, r0 = coords(t)
+                cp = pltpu.make_async_copy(
+                    b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                    sb.at[pl.ds(nU, nU)], sem)
+                cp.start(); cp.wait()
+                v = sb[nU:2 * nU]
+                an = an + jnp.sum(v * v)
+                cps = [
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(nU, nU)],
+                        st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem),
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(nU, nU)],
+                        w_any.at[pl.ds(0, nU), pl.ds(d0 + h_d, T_d),
+                                 pl.ds(r0 + h_h, T_h)], sem),
+                ]
+                for blk in (Z, S, Pp, Dd):
+                    cps.append(pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        st_any.at[pl.ds(blk, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem))
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                return an
+
+            gamma0 = jax.lax.fori_loop(
+                0, n_tiles, stage, jnp.float32(0.0))
+
+            # ---- the one sweep ---------------------------------------
+            def make_sweep(is_init):
+                def reads(b, d0, r0, src_off):
+                    iw, wwx, sbx, sm = bufs[b]
+                    cps = [
+                        pltpu.make_async_copy(
+                            ins_any.at[:, pl.ds(d0, WIN_d),
+                                       pl.ds(r0, WIN_h)], iw, sm),
+                        pltpu.make_async_copy(
+                            w_any.at[pl.ds(src_off, nU),
+                                     pl.ds(d0, WIN_d),
+                                     pl.ds(r0, WIN_h)], wwx, sm),
+                    ]
+                    if not is_init:
+                        cps.append(pltpu.make_async_copy(
+                            st_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sbx, sm))
+                    return cps
+
+                def start_reads(b, d0, r0, src_off):
+                    for cp in reads(b, d0, r0, src_off):
+                        cp.start()
+
+                def wait_reads(b, d0, r0, src_off):
+                    for cp in reads(b, d0, r0, src_off):
+                        cp.wait()
+
+                def compute(b, d0, r0, dst_off, alpha, beta, acc):
+                    gam, ddd = acc
+                    iw, wwx, sbx, sm = bufs[b]
+                    j = 0
+                    x_win = {}
+                    for n in un:
+                        x_win[n] = [iw[j + c] for c in range(chans[n])]
+                        j += chans[n]
+                    imgs = {}
+                    for n in cn:
+                        imgs[n] = [iw[j + c] for c in range(chans[n])]
+                        j += chans[n]
+                    sq_win = [iw[j + k] for k in range(nU)]
+                    data_win = {"images": imgs, "params": params,
+                                "graph_indices": {}}
+                    wv = [wwx[k] for k in range(nU)]
+                    k = 0
+                    p_sc = {}
+                    for n in un:
+                        pwn = []
+                        for c in range(chans[n]):
+                            pwn.append(sq_win[k] * wv[k])
+                            k += 1
+                        p_sc[n] = pwn
+                    tf.coord_offsets = (d0 - h_d, r0 - h_h, 0)
+                    fn = lambda xx: tf.residuals_solve(xx, data_win)
+                    _, jvp_fn = jax.linearize(fn, x_win)
+                    jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                    (grad,) = jt_fn(jvp_fn(p_sc))
+                    aps = []
+                    k = 0
+                    for n in un:
+                        for c in range(chans[n]):
+                            aps.append(
+                                sq_win[k][h_d:h_d + T_d, h_h:h_h + T_h]
+                                * grad[n][c][h_d:h_d + T_d,
+                                             h_h:h_h + T_h])
+                            k += 1
+                    n_arr = jnp.stack(aps)          # (nU, T_d, T_h, W)
+                    wc = jnp.stack(
+                        [wv[k][h_d:h_d + T_d, h_h:h_h + T_h]
+                         for k in range(nU)])
+                    if is_init:
+                        ddd = ddd + jnp.sum(n_arr * wc)
+                        wwx[:, pl.ds(0, T_d), pl.ds(0, T_h)] = n_arr
+                        cp = pltpu.make_async_copy(
+                            wwx.at[:, pl.ds(0, T_d), pl.ds(0, T_h)],
+                            w_any.at[pl.ds(dst_off, nU),
+                                     pl.ds(d0 + h_d, T_d),
+                                     pl.ds(r0 + h_h, T_h)], sm)
+                        cp.start(); cp.wait()
+                        return gam, ddd
+                    zb = sbx[Z:Z + nU]
+                    ss = sbx[S:S + nU]
+                    pp = sbx[Pp:Pp + nU]
+                    db = sbx[Dd:Dd + nU]
+                    rr = sbx[R:R + nU]
+                    z_new = n_arr + beta * zb
+                    s_new = wc + beta * ss
+                    p_new = rr + beta * pp
+                    d_new = db + alpha * p_new
+                    r_new = rr - alpha * s_new
+                    w_new = wc - alpha * z_new
+                    gam = gam + jnp.sum(r_new * r_new)
+                    ddd = ddd + jnp.sum(w_new * r_new)
+                    sbx[pl.ds(Z, nU)] = z_new
+                    sbx[pl.ds(S, nU)] = s_new
+                    sbx[pl.ds(Pp, nU)] = p_new
+                    sbx[pl.ds(Dd, nU)] = d_new
+                    sbx[pl.ds(R, nU)] = r_new
+                    wwx[:, pl.ds(0, T_d), pl.ds(0, T_h)] = w_new
+                    cps = [
+                        pltpu.make_async_copy(
+                            sbx,
+                            st_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sm),
+                        pltpu.make_async_copy(
+                            wwx.at[:, pl.ds(0, T_d), pl.ds(0, T_h)],
+                            w_any.at[pl.ds(dst_off, nU),
+                                     pl.ds(d0 + h_d, T_d),
+                                     pl.ds(r0 + h_h, T_h)], sm),
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    return gam, ddd
+
+                def sweep(src_off, dst_off, alpha, beta):
+                    zero = (jnp.float32(0.0), jnp.float32(0.0))
+                    if n_tiles % 2:
+                        def tile(t, acc):
+                            d0, r0 = coords(t)
+                            start_reads(0, d0, r0, src_off)
+                            wait_reads(0, d0, r0, src_off)
+                            return compute(
+                                0, d0, r0, dst_off, alpha, beta, acc)
+
+                        return jax.lax.fori_loop(0, n_tiles, tile, zero)
+
+                    n_pairs = n_tiles // 2
+                    start_reads(0, *coords(0), src_off)
+
+                    def pair(k2, acc):
+                        dA, rA = coords(2 * k2)
+                        dB, rB = coords(2 * k2 + 1)
+                        start_reads(1, dB, rB, src_off)
+                        wait_reads(0, dA, rA, src_off)
+                        acc = compute(
+                            0, dA, rA, dst_off, alpha, beta, acc)
+                        nk = jnp.minimum(k2 + 1, n_pairs - 1)
+                        start_reads(0, *coords(nk * 2), src_off)
+                        wait_reads(1, dB, rB, src_off)
+                        acc = compute(
+                            1, dB, rB, dst_off, alpha, beta, acc)
+                        return acc
+
+                    acc = jax.lax.fori_loop(0, n_pairs, pair, zero)
+                    wait_reads(0, *coords((n_pairs - 1) * 2), src_off)
+                    return acc
+
+                return sweep
+
+            init_sweep = make_sweep(True)
+            iter_sweep = make_sweep(False)
+
+            # prologue: w_0 = A_hat r_0 -> slot 1, dd_0 = <w_0, r_0>
+            _, dd0 = init_sweep(0, nU, jnp.float32(0.0), jnp.float32(0.0))
+
+            def body(carry):
+                it, gamma, dd, gamma_prev, alpha_prev = carry
+                first = it == 0
+                beta = jnp.where(first, 0.0, _sdiv(gamma, gamma_prev))
+                denom = dd - beta * _sdiv(gamma, alpha_prev)
+                alpha = jnp.where(first, _sdiv(gamma, dd),
+                                  _sdiv(gamma, denom))
+                src = nU * ((it + 1) % 2)
+                dst = nU * (it % 2)
+                g2, dd2 = iter_sweep(src, dst, alpha, beta)
+                return it + 1, g2, dd2, gamma, alpha
+
+            jax.lax.while_loop(
+                lambda c: c[0] < L, body,
+                (jnp.int32(0), gamma0, dd0, jnp.float32(0.0),
+                 jnp.float32(1.0)),
+            )
+
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins A
+            pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),   # w A
+            pltpu.VMEM((5 * nU, T_d, T_h, W), jnp.float32),   # state A
+            pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins B
+            pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),   # w B
+            pltpu.VMEM((5 * nU, T_d, T_h, W), jnp.float32),   # state B
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        out_shapes = (
+            jax.ShapeDtypeStruct((5 * nU, D, H, W), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (2 * nU, D + 2 * h_d, H + 2 * h_h, W), jnp.float32),
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec, any_spec, any_spec, sspec, sspec],
+            out_specs=(any_spec,) * 2,
+            out_shape=out_shapes,
+            input_output_aliases={2: 1},   # w_in -> w workspace
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_hbm_limit_bytes("pipelined")),
+            interpret=interpret,
+        )
+
+    # -- SolverConfig.pcg_backend hook --------------------------------------
+
+    def as_pcg_backend(self, interpret=None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kern = self._build_pipelined_kernel(interpret)
+        un, cn = self.unknown_names, self.const_names
+        chans = self.chans
+        h_d, h_h = self.h_d, self.h_h
+        pn = self.param_names
+        nU = sum(chans[n] for n in un)
+        D, H, W = self.D, self.H, self.W
+
+        def pad_plane(a):
+            return jnp.pad(a, ((h_d, h_d), (h_h, h_h), (0, 0)))
+
+        def planes(arr):
+            return [arr[..., c] for c in range(arr.shape[-1])]
+
+        def backend(x, data, sq, scs, b_hat, sp):
+            del scs  # GN only
+            stack = []
+            for n in un:
+                stack += [pad_plane(p) for p in planes(x[n])]
+            for n in cn:
+                stack += [pad_plane(p) for p in planes(data["images"][n])]
+            for n in un:
+                stack += [pad_plane(p) for p in planes(sq[n])]
+            ins = jnp.stack(stack)
+            b = jnp.stack([p for n in un for p in planes(b_hat[n])])
+            w0 = jnp.zeros(
+                (2 * nU, D + 2 * h_d, H + 2 * h_h, W), jnp.float32)
+            pvals = jnp.stack(
+                [jnp.asarray(data["params"][n], jnp.float32)
+                 for n in pn]
+            ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
+            ctl_i = jnp.asarray(
+                sp["lIterations"], jnp.int32).reshape(1, 1)
+            st, _ = kern(ins, b, w0, pvals, ctl_i)
+            out = {}
+            k = 0
+            for n in un:
+                c = chans[n]
+                out[n] = jnp.stack(
+                    [st[3 * nU + k + j] for j in range(c)], axis=-1)
+                k += c
+            return out
+
+        return backend
+
+    # -- harness-compatible whole solve --------------------------------------
+
+    def solve(self, inputs, interpret=None):
+        """Full GN solve through solver/core with the streamed 3-D inner
+        loop; the outer step (cost/JtF/diag) runs whole-grid on XLA
+        (fits HBM through 256^3 -- no 3-D chunked-outer yet)."""
+        from ..solver.core import SolverConfig, make_solver
+
+        plan = self.plan
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        key = ("backend", interpret)
+        if key not in self._kern_cache:
+            base = plan.config
+            cfg = SolverConfig(
+                uses_lambda=base.uses_lambda,
+                guarded_invert_type=base.guarded_invert_type,
+                jacobi_scaling=base.jacobi_scaling,
+                pcg_variant="classic",
+                pcg_backend=self.as_pcg_backend(interpret),
+            )
+            fns = make_solver(plan.funcs, cfg)
+            self._kern_cache[key] = jax.jit(fns[4])
+        full = self._kern_cache[key]
+        x, data = plan.bind(inputs)
+        sp = plan._sp_device()
+        sp["nIterations"] = jnp.asarray(
+            int(plan.solver_params["nIterations"]), jnp.int32)
+        st = full(x, data, sp)
+        return {"x": st["x"], "final_cost": float(st["prev_cost"])}
