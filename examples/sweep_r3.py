@@ -193,20 +193,38 @@ def volumetric_inputs(side, seed=0):
 
 
 def cmd_volumetric(sides):
-    """3D-grid scaling on the fused XLA path (the only engine eligible
-    for 3D ispaces -- StreamSolverHBM is 2D-only by design)."""
+    """3D-grid scaling: fused XLA vs the two-axis-tiled streamed engine
+    (ops/stream3d.py; eligible when side % 128 == 0, so 192^3 runs XLA
+    only)."""
+    from opt_tpu.ops.stream3d import StreamSolver3D, supports3d
+
     n_outer, n_lin = 8, 100
     for side in sides:
         inputs = volumetric_inputs(side)
         plan = _plan("volumetric_mesh_deformation", [side, side, side])
         try:
             ms, cost = time_xla(plan, inputs, n_outer, n_lin)
+            row("volumetric", f"{side}^3", "xla", "gaussNewtonGPU",
+                n_outer, n_lin, ms, cost)
         except Exception as e:
-            print(f"# volumetric@{side} failed: {e!r:.150}",
+            print(f"# volumetric@{side} xla failed: {e!r:.150}",
+                  file=sys.stderr, flush=True)
+        plan = _plan("volumetric_mesh_deformation", [side, side, side])
+        plan.set_solver_parameter("nIterations", n_outer)
+        plan.set_solver_parameter("lIterations", n_lin)
+        if not supports3d(plan):
+            print(f"# volumetric@{side}: stream3d ineligible",
                   file=sys.stderr, flush=True)
             continue
-        row("volumetric", f"{side}^3", "xla", "gaussNewtonGPU",
-            n_outer, n_lin, ms, cost)
+        try:
+            eng = StreamSolver3D(plan)
+            ms, cost = time_engine(eng, inputs)
+            row("volumetric", f"{side}^3",
+                f"stream3d_t{eng.tile_d}x{eng.tile_h}_pipelined",
+                "gaussNewtonGPU", n_outer, n_lin, ms, cost)
+        except Exception as e:
+            print(f"# volumetric@{side} stream3d failed: {e!r:.150}",
+                  file=sys.stderr, flush=True)
 
 
 def cmd_materialized(sizes):
