@@ -717,12 +717,14 @@ class Plan:
         all state VMEM-resident (opt_tpu/ops/vmem_solver.py) -- fastest
         for grid problems that fit on-chip; engine="stream_hbm" runs the
         fully-streamed tiled PCG engine for larger-than-VMEM grids
-        (opt_tpu/ops/stream_solver.StreamSolverHBM).  Both fall back to
-        "xla" when unsupported.  The default "auto" picks stream_hbm for
-        eligible grids >= ~2048^2 pixels (where it measured 1.15-1.4x
-        over the XLA path on v5e) and "xla" otherwise."""
+        (opt_tpu/ops/stream_solver.StreamSolverHBM); engine="stream3d"
+        its two-axis-tiled 3-D counterpart for volumetric grids
+        (opt_tpu/ops/stream3d.StreamSolver3D, GN only).  All fall back
+        to "xla" when unsupported.  The default "auto" picks stream_hbm
+        for eligible grids >= ~2048^2 pixels (where it measured
+        1.15-1.4x over the XLA path on v5e) and "xla" otherwise."""
         engine = self._pick_engine(engine)
-        if engine in ("vmem", "stream_hbm"):
+        if engine in ("vmem", "stream_hbm", "stream3d"):
             from ..ops import stream_solver, vmem_solver
 
             vs = None
@@ -732,6 +734,11 @@ class Plan:
                 self
             ):
                 vs = stream_solver.StreamSolverHBM(self)
+            elif engine == "stream3d":
+                from ..ops import stream3d
+
+                if stream3d.supports3d(self):
+                    vs = stream3d.StreamSolver3D(self)
             if vs is not None:
                 out = vs.solve(inputs)
                 _, self._data = self.bind(inputs)

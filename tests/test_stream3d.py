@@ -101,6 +101,14 @@ def test_supports3d_gates():
     assert not supports3d(plan2d)
 
 
+def test_plan_solve_engine_dispatch(vol_case):
+    """Plan.solve(engine="stream3d") routes to the 3-D engine and
+    matches XLA; unsupported plans fall back to XLA silently."""
+    plan, inputs, ref = vol_case
+    got = plan.solve(dict(inputs), engine="stream3d")
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
 def test_stream3d_updates_unknowns(vol_case):
     plan, inputs, ref = vol_case
     eng = StreamSolver3D(plan, tile_d=4, tile_h=8)
