@@ -233,7 +233,7 @@ class CombinedSolver:
             # CombinedSolverBase.h:67-81): the whole-solve-in-VMEM Pallas
             # engine if the problem fits on-chip, else the fully-streamed
             # HBM-state engine for larger-than-VMEM grids
-            from opt_tpu.ops import stream_solver, vmem_solver
+            from opt_tpu.ops import stream3d, stream_solver, vmem_solver
 
             problem = self.state.problem_define(energy, "gaussNewtonGPU")
             plan = self.state.problem_plan(problem, dims)
@@ -247,10 +247,15 @@ class CombinedSolver:
                     {"plan": plan, "name": "Pallas(StreamHBM)",
                      "iters": [], "pallas": "stream_hbm"}
                 )
+            elif stream3d.supports3d(plan):
+                self.m_solverInfo.append(
+                    {"plan": plan, "name": "Pallas(Stream3D)",
+                     "iters": [], "pallas": "stream3d"}
+                )
             else:
                 print("Pallas: problem not eligible (graph domain, "
-                      "non-2D grid, sampled images, f64, or unaligned "
-                      "sizes); skipping the hand-optimized solver")
+                      "sampled images, f64, or unaligned sizes); "
+                      "skipping the hand-optimized solver")
         if p.useCeres:
             # outside baseline in the Ceres role (CeresSolverBase parity):
             # generic scipy TRF/LSMR over the same residual program
@@ -318,6 +323,10 @@ class CombinedSolver:
                     from opt_tpu.ops.stream_solver import StreamSolverHBM
 
                     s["engine"] = StreamSolverHBM(plan)
+                elif s["pallas"] == "stream3d":
+                    from opt_tpu.ops.stream3d import StreamSolver3D
+
+                    s["engine"] = StreamSolver3D(plan)
                 else:
                     from opt_tpu.ops.vmem_solver import VmemSolver
 
