@@ -45,38 +45,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..compile.plan_fns import ProblemFunctions
-from ..dsl import expr as E
 from ..dsl.env import EnergyEnv
 from ..dsl.spec import ProblemSpec
 from .stream_solver import (
     LANE,
     SUBLANE,
     HBM_TEMP_PLANES_FACTOR,
+    _has_sampled,
     _hbm_budget_bytes,
     _hbm_limit_bytes,
     _roundup,
+    _stencil_radius_axis,
 )
 
+# whole-volume HBM gate: the engine keeps ins + w A/B + the 5-vector
+# state + b in HBM (nIn + 8*nU channel fields) and solve()'s OUTER step
+# (cost/JtF/diag) runs whole-grid on XLA -- there is no 3-D chunked
+# outer yet, so its temporaries are modeled as ~12 extra f32 per
+# unknown channel per voxel.  256^3 (6 ch) fits v5e comfortably
+# (~9 GB); 384^3 (~31 GB) is rejected at eligibility instead of dying
+# in XLA allocation mid-solve.  OPT_TPU_HBM_GB overrides for other
+# parts.
+import os as _os
 
-def _stencil_radius_axis(spec, axis):
-    """Max |offset| along array axis (axis 0 = last declared dim)."""
-    radius = 0
-    nd = None
-    for im in spec.images.values():
-        nd = im.ispace.ndims
-        break
-
-    def on_node(a):
-        nonlocal radius
-        if isinstance(a, E.ImageAccess) and isinstance(a.index, E.Offset):
-            off = a.index.data
-            radius = max(radius, abs(int(off[nd - 1 - axis])))
-        elif isinstance(a, E.ComputedAccess):
-            E.visit(a.expanded(), on_node)
-
-    for exp in list(spec.terms) + list(spec.excludes):
-        E.visit(exp, on_node)
-    return radius
+HBM_BYTES = int(
+    float(_os.environ.get("OPT_TPU_HBM_GB", "15.75")) * 1024**3
+)
+OUTER_F32_PER_UNKNOWN_CHANNEL = 12
 
 
 def _n_res_channels(funcs):
@@ -133,13 +128,16 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
     return best[1] if best else None
 
 
-def supports3d(plan, max_tile_d=None, max_tile_h=None):
-    """Eligibility: GN, one 3-D f32 grid ispace, no graphs/SampledImage,
-    W % 128 == 0, H % 8 == 0, and a feasible tile pair under the VMEM
-    budget."""
+def _eligible3d(plan):
+    """Structural eligibility (everything except the tile search): GN,
+    one 3-D f32 grid ispace, no graphs/SampledImage, W % 128 == 0,
+    H % 8 == 0, and the whole volume (engine HBM state + the whole-grid
+    XLA outer step) under the HBM gate."""
     if plan.config.uses_lambda or plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
+        return False
+    if not plan.spec.images:
         return False
     keys = {im.ispace.key() for im in plan.spec.images.values()}
     if len(keys) != 1:
@@ -147,35 +145,50 @@ def supports3d(plan, max_tile_d=None, max_tile_h=None):
     for g in plan.funcs.groups:
         if g.kind != "centered" or g.ispace.ndims != 3:
             return False
-    has_sampled = [False]
-
-    def _chk(a):
-        if isinstance(a, E.SampledAccess):
-            has_sampled[0] = True
-
-    for exp in plan.spec.terms:
-        E.visit(exp, _chk)
-    if has_sampled[0]:
+    if _has_sampled(plan.spec):
         return False
     D, H, W = next(iter(plan.spec.images.values())).ispace.shape
     if W % LANE or H % SUBLANE:
         return False
-    return _tile_search3d(plan, max_tile_d, max_tile_h) is not None
+    funcs = plan.funcs
+    nU = sum(s[-1] for s in funcs.unknown_shapes.values())
+    nC = sum(
+        im.channels for n, im in plan.spec.images.items()
+        if not im.is_unknown and n not in funcs.aliases
+    )
+    nIn = 2 * nU + nC
+    f32_per_voxel = nIn + 8 * nU + OUTER_F32_PER_UNKNOWN_CHANNEL * nU
+    return D * H * W * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
+
+
+def supports3d(plan, max_tile_d=None, max_tile_h=None):
+    """Eligibility: _eligible3d plus a feasible tile pair under the
+    VMEM budget."""
+    return (_eligible3d(plan)
+            and _tile_search3d(plan, max_tile_d, max_tile_h) is not None)
 
 
 class StreamSolver3D:
     """Two-axis-tiled streamed HBM-state pipelined PCG for 3-D grids."""
 
     def __init__(self, plan, tile_d=None, tile_h=None):
-        assert supports3d(plan, tile_d, tile_h), (
-            "plan not eligible for the 3-D streamed engine"
-        )
+        if not _eligible3d(plan):
+            raise ValueError(
+                "plan not eligible for the 3-D streamed engine (needs "
+                "GN, one 3-D f32 grid ispace, no graphs/SampledImage, "
+                "W % 128 == 0, H % 8 == 0, volume under the HBM gate)"
+            )
+        pick = _tile_search3d(plan, tile_d, tile_h)
+        if pick is None:
+            raise ValueError(
+                "no feasible (T_d, T_h) tile pair under the VMEM budget"
+            )
         self.plan = plan
         self.variant = "pipelined"
         funcs = plan.funcs
         D, H, W = next(iter(plan.spec.images.values())).ispace.shape
         self.D, self.H, self.W = D, H, W
-        self.tile_d, self.tile_h = _tile_search3d(plan, tile_d, tile_h)
+        self.tile_d, self.tile_h = pick
         self.h_d = max(2 * _stencil_radius_axis(plan.spec, 0), 1)
         self.h_h = _roundup(
             max(2 * _stencil_radius_axis(plan.spec, 1), 1), SUBLANE
@@ -466,7 +479,7 @@ class StreamSolver3D:
                  jnp.float32(1.0)),
             )
 
-        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
         sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
         scratch = [
             pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins A

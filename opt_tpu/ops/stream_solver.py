@@ -61,8 +61,8 @@ LANE = 128
 SUBLANE = 8
 
 
-def _stencil_radius_axis0(spec):
-    """Max |offset| along array axis 0 (= last declared dim)."""
+def _stencil_radius_axis(spec, axis):
+    """Max |offset| along array axis (axis 0 = last declared dim)."""
     radius = 0
     nd = None
     for im in spec.images.values():
@@ -73,13 +73,32 @@ def _stencil_radius_axis0(spec):
         nonlocal radius
         if isinstance(a, E.ImageAccess) and isinstance(a.index, E.Offset):
             off = a.index.data
-            radius = max(radius, abs(int(off[nd - 1])))
+            radius = max(radius, abs(int(off[nd - 1 - axis])))
         elif isinstance(a, E.ComputedAccess):
             E.visit(a.expanded(), on_node)
 
     for exp in list(spec.terms) + list(spec.excludes):
         E.visit(exp, on_node)
     return radius
+
+
+def _stencil_radius_axis0(spec):
+    """Max |offset| along array axis 0 (= last declared dim)."""
+    return _stencil_radius_axis(spec, 0)
+
+
+def _has_sampled(spec):
+    """True if any energy term reads a SampledImage (ineligible for the
+    streamed engines: bilinear gathers have no windowed form)."""
+    found = [False]
+
+    def _chk(a):
+        if isinstance(a, E.SampledAccess):
+            found[0] = True
+
+    for exp in spec.terms:
+        E.visit(exp, _chk)
+    return found[0]
 
 
 def supports(plan, tile=32, state_in="vmem", variant="classic"):
