@@ -92,6 +92,41 @@ def test_graph_sharded_banded_matches_single():
     assert sharded == pytest.approx(single, rel=1e-5)
 
 
+def test_volumetric_sharded_matches_single():
+    """3-D grids shard their leading (D, H) axes over the 2x4 mesh
+    (_grid_spec is rank-generic); cost parity with a single device at
+    the reference's cross-backend tolerance."""
+    from opt_tpu import energies
+
+    W, H, D = 16, 16, 8
+    rng = np.random.RandomState(5)
+    ii, jj, kk = np.meshgrid(
+        np.arange(D), np.arange(H), np.arange(W), indexing="ij")
+    grid = np.stack([ii, jj, kk], -1).astype(np.float32)
+    cons = np.full_like(grid, -np.inf)
+    cons[:, 0] = grid[:, 0]
+    cons[:, -1] = grid[:, -1] + np.float32(1.5)
+    inputs = {
+        "Offset": grid + 0.01 * rng.randn(*grid.shape).astype(np.float32),
+        "UrShape": grid.copy(),
+        "Angle": np.zeros_like(grid),
+        "Constraints": cons.astype(np.float32),
+        "w_fitSqrt": 1.0,
+        "w_regSqrt": np.sqrt(0.5),
+    }
+    energy = energies.ALL_ENERGIES["volumetric_mesh_deformation"]
+    ref = _plan(energy, [W, H, D], "gaussNewtonGPU")
+    ref.init(dict(inputs))
+    while ref.step():
+        pass
+    single = ref.final_cost()
+
+    plan = _plan(energy, [W, H, D], "gaussNewtonGPU")
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.solve_sharded(plan, dict(inputs), mesh, n_iterations=2)
+    assert sharded == pytest.approx(single, rel=1e-5)
+
+
 def test_mesh_factoring():
     m = pmesh.make_mesh(8)
     assert m.devices.shape == (2, 4)
