@@ -265,9 +265,6 @@ def _hbm_limit_bytes(variant="classic"):
     return _hbm_budget_bytes(variant) + 16 * 1024 * 1024
 
 
-_VMEM_MB = int(_VMEM_MB_ENV) if _VMEM_MB_ENV else 48
-HBM_VMEM_BUDGET_BYTES = _VMEM_MB * 1024 * 1024
-HBM_VMEM_LIMIT_BYTES = (_VMEM_MB + 16) * 1024 * 1024
 # OPT_TPU_STREAM_WSTAGE=1: pipelined kernel stages its per-tile state/w
 # writes through dedicated buffers so the write DMAs overlap the next
 # tile's compute (waited one buffer-set cycle later).  Costs 2x6xnU tile
