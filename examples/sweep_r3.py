@@ -217,7 +217,9 @@ def cmd_volumetric(sides):
                   file=sys.stderr, flush=True)
             continue
         try:
-            eng = StreamSolver3D(plan)
+            td = int(os.environ.get("OPT_TPU_SWEEP_TILE_D", "0")) or None
+            th = int(os.environ.get("OPT_TPU_SWEEP_TILE_H", "0")) or None
+            eng = StreamSolver3D(plan, tile_d=td, tile_h=th)
             ms, cost = time_engine(eng, inputs)
             row("volumetric", f"{side}^3",
                 f"stream3d_t{eng.tile_d}x{eng.tile_h}_pipelined",
