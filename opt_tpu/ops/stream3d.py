@@ -22,13 +22,16 @@ whole-grid jax.linearize/transpose apply in
 examples/probe_3d_window2.py.
 
 The PCG loop is the pipelined (one-barrier, Ghysels & Vanroose)
-recurrence of StreamSolverHBM._build_pipelined_kernel, GN only: both
-reductions use the previous sweep's vectors, so each iteration is ONE
+recurrence of StreamSolverHBM._build_pipelined_kernel: both reductions
+use the previous sweep's vectors, so each iteration is ONE
 double-buffered pass over the (n_td x n_th) tile grid reading
 [ins window | w window | stacked 5-vector state tile] and writing the
 updated state + the ping-ponged w (A/B slot pair: w halo rows are read
-by neighbouring tiles in the same sweep).  LM volumetric solves stay
-on the fused XLA path (Plan.solve engine="xla").
+by neighbouring tiles in the same sweep).  LM runs on the same
+one-barrier loop (scs diagonal in the apply, per-sweep Q accumulation,
+zeta exit, periodic exact residual replacement with slot-parity flip —
+the 2-D pipelined-LM design; there is no classic 3-D kernel), with the
+trust region in solver/core via the pcg_backend hook.
 
 Same hat-space math as the 2-D engine: PCG runs on
 A_hat = S (JtJ) S with S = sqrt(guarded_invert(diag JtJ)), excluded
@@ -82,16 +85,18 @@ def _n_res_channels(funcs):
 
 def _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W):
     funcs = plan.funcs
+    lm = plan.config.uses_lambda
     nU = sum(s[-1] for s in funcs.unknown_shapes.values())
     nC = sum(
         im.channels for n, im in plan.spec.images.items()
         if not im.is_unknown and n not in funcs.aliases
     )
-    nIn = 2 * nU + nC
+    nIn = 2 * nU + nC + (nU if lm else 0)   # x | consts | sqp [| scs]
     WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
     win_elems = WIN_d * WIN_h * W
     windows = 2 * (nIn + nU) * win_elems * 4        # ins + w (A+B)
-    state = 2 * 5 * nU * T_d * T_h * W * 4          # z|s|p|d|r (A+B)
+    # z|s|p|d|r [+ b] tiles (A+B)
+    state = 2 * (6 if lm else 5) * nU * T_d * T_h * W * 4
     temps = int(
         HBM_TEMP_PLANES_FACTOR * _n_res_channels(funcs) * win_elems * 4
     )
@@ -129,11 +134,11 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
 
 
 def _eligible3d(plan):
-    """Structural eligibility (everything except the tile search): GN,
-    one 3-D f32 grid ispace, no graphs/SampledImage, W % 128 == 0,
-    H % 8 == 0, and the whole volume (engine HBM state + the whole-grid
-    XLA outer step) under the HBM gate."""
-    if plan.config.uses_lambda or plan.spec.graphs:
+    """Structural eligibility (everything except the tile search): GN
+    or LM, one 3-D f32 grid ispace, no graphs/SampledImage,
+    W % 128 == 0, H % 8 == 0, and the whole volume (engine HBM state +
+    the whole-grid XLA outer step) under the HBM gate."""
+    if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
         return False
@@ -156,7 +161,7 @@ def _eligible3d(plan):
         im.channels for n, im in plan.spec.images.items()
         if not im.is_unknown and n not in funcs.aliases
     )
-    nIn = 2 * nU + nC
+    nIn = 2 * nU + nC + (nU if plan.config.uses_lambda else 0)
     f32_per_voxel = nIn + 8 * nU + OUTER_F32_PER_UNKNOWN_CHANNEL * nU
     return D * H * W * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
 
@@ -231,11 +236,18 @@ class StreamSolver3D:
     # -- the pipelined kernel ----------------------------------------------
 
     def _build_pipelined_kernel(self, interpret):
-        """GN pipelined PCG over the (n_td x n_th) tile grid; see the
+        """Pipelined PCG over the (n_td x n_th) tile grid; see the
         module docstring.  w arrives as a ZERO-INITIALIZED input aliased
         to its output workspace (its edge halos must read 0 and staging
         only writes tile centers -- the 2-D kernel zero-fills halo rows
-        in-kernel instead, which for 3-D would need full-plane fills)."""
+        in-kernel instead, which for 3-D would need full-plane fills).
+
+        LM (uses_lambda) mirrors the 2-D pipelined-LM kernel
+        (stream_solver._build_pipelined_kernel): the scs = S^2*ctc
+        diagonal joins the apply, Q accumulates per sweep from an extra
+        b tile, zeta = (i+1)(Q1-Q0)/Q1 < q_tol exits early, and the
+        periodic exact residual REPLACEMENT (r = b - A delta, w = A r)
+        runs as three extra passes with a slot-parity flip."""
         T_d, T_h = self.tile_d, self.tile_h
         h_d, h_h = self.h_d, self.h_h
         D, H, W = self.D, self.H, self.W
@@ -246,9 +258,12 @@ class StreamSolver3D:
         n_tiles = self.n_tiles
         nU = sum(chans[n] for n in un)
         nC = sum(chans[n] for n in cn)
-        nIn = 2 * nU + nC
+        lm = self.plan.config.uses_lambda
+        nIn = 2 * nU + nC + (nU if lm else 0)
         WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
         Z, S, Pp, Dd, R = 0, nU, 2 * nU, 3 * nU, 4 * nU
+        B_sb = 5 * nU           # b tile rows in the state buffers (LM)
+        NSB = 6 * nU if lm else 5 * nU
 
         def coords(t):
             """Flat tile index -> (d0, r0) in UNPADDED grid coords; r0
@@ -258,12 +273,22 @@ class StreamSolver3D:
             th = t % n_th
             return td * T_d, pl.multiple_of(th * T_h, SUBLANE)
 
-        def kernel(ins_any, b_any, w_in, pref, ctl_i,
-                   st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
-                   sem, sem2):
+        def kernel(*refs):
+            if lm:
+                (ins_any, b_any, w_in, pref, ctl_i, ctl_f,
+                 st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
+                 sem, sem2) = refs
+            else:
+                (ins_any, b_any, w_in, pref, ctl_i,
+                 st_any, w_any, insw, ww, sb, insw2, ww2, sb2,
+                 sem, sem2) = refs
+                ctl_f = None
             del w_in  # aliased to w_any
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
             L = ctl_i[0, 0]
+            if lm:
+                period = ctl_i[1, 0]
+                q_tol = ctl_f[0, 0]
             bufs = ((insw, ww, sb, sem), (insw2, ww2, sb2, sem2))
 
             def _sdiv(a, bb):
@@ -306,7 +331,17 @@ class StreamSolver3D:
                 0, n_tiles, stage, jnp.float32(0.0))
 
             # ---- the one sweep ---------------------------------------
-            def make_sweep(is_init):
+            # mode: 'iter'    -- the per-iteration recurrence sweep
+            #       'init'    -- w = A src (prologue w_0 = A b; LM reset
+            #                    pass C recomputing w = A r); acc = dd
+            #       'reset_r' -- LM reset pass B: src windows hold
+            #                    delta, compute r = b - A delta, write
+            #                    it to st R rows AND the dst w slot
+            #                    (haloed scratch for pass C); acc =
+            #                    (gamma, qd)
+            def make_sweep(mode):
+                is_init = mode == "init"
+
                 def reads(b, d0, r0, src_off):
                     iw, wwx, sbx, sm = bufs[b]
                     cps = [
@@ -318,10 +353,14 @@ class StreamSolver3D:
                                      pl.ds(d0, WIN_d),
                                      pl.ds(r0, WIN_h)], wwx, sm),
                     ]
-                    if not is_init:
+                    if mode == "iter":
                         cps.append(pltpu.make_async_copy(
                             st_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
-                            sbx, sm))
+                            sbx.at[pl.ds(0, 5 * nU)], sm))
+                    if lm and mode in ("iter", "reset_r"):
+                        cps.append(pltpu.make_async_copy(
+                            b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sbx.at[pl.ds(B_sb, nU)], sm))
                     return cps
 
                 def start_reads(b, d0, r0, src_off):
@@ -333,7 +372,10 @@ class StreamSolver3D:
                         cp.wait()
 
                 def compute(b, d0, r0, dst_off, alpha, beta, acc):
-                    gam, ddd = acc
+                    if mode == "iter" and lm:
+                        gam, ddd, qdd = acc
+                    else:
+                        gam, ddd = acc
                     iw, wwx, sbx, sm = bufs[b]
                     j = 0
                     x_win = {}
@@ -345,6 +387,9 @@ class StreamSolver3D:
                         imgs[n] = [iw[j + c] for c in range(chans[n])]
                         j += chans[n]
                     sq_win = [iw[j + k] for k in range(nU)]
+                    scs_win = (
+                        [iw[j + nU + k] for k in range(nU)]
+                        if lm else None)
                     data_win = {"images": imgs, "params": params,
                                 "graph_indices": {}}
                     wv = [wwx[k] for k in range(nU)]
@@ -365,10 +410,17 @@ class StreamSolver3D:
                     k = 0
                     for n in un:
                         for c in range(chans[n]):
-                            aps.append(
+                            ap = (
                                 sq_win[k][h_d:h_d + T_d, h_h:h_h + T_h]
                                 * grad[n][c][h_d:h_d + T_d,
                                              h_h:h_h + T_h])
+                            if lm:  # + scs diagonal (hat-space CtC)
+                                ap = ap + (
+                                    scs_win[k][h_d:h_d + T_d,
+                                               h_h:h_h + T_h]
+                                    * wv[k][h_d:h_d + T_d,
+                                            h_h:h_h + T_h])
+                            aps.append(ap)
                             k += 1
                     n_arr = jnp.stack(aps)          # (nU, T_d, T_h, W)
                     wc = jnp.stack(
@@ -384,6 +436,30 @@ class StreamSolver3D:
                                      pl.ds(r0 + h_h, T_h)], sm)
                         cp.start(); cp.wait()
                         return gam, ddd
+                    if mode == "reset_r":
+                        # src windows held delta, n_arr = A delta;
+                        # acc here is (gamma, qd)
+                        bt = sbx[B_sb:B_sb + nU]
+                        rv = bt - n_arr
+                        gam = gam + jnp.sum(rv * rv)
+                        ddd = ddd + jnp.sum(wc * (rv + bt))
+                        wwx[:, pl.ds(0, T_d), pl.ds(0, T_h)] = rv
+                        cps = [
+                            pltpu.make_async_copy(
+                                wwx.at[:, pl.ds(0, T_d), pl.ds(0, T_h)],
+                                st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
+                                          pl.ds(r0, T_h)], sm),
+                            pltpu.make_async_copy(
+                                wwx.at[:, pl.ds(0, T_d), pl.ds(0, T_h)],
+                                w_any.at[pl.ds(dst_off, nU),
+                                         pl.ds(d0 + h_d, T_d),
+                                         pl.ds(r0 + h_h, T_h)], sm),
+                        ]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
+                        return gam, ddd
                     zb = sbx[Z:Z + nU]
                     ss = sbx[S:S + nU]
                     pp = sbx[Pp:Pp + nU]
@@ -397,6 +473,10 @@ class StreamSolver3D:
                     w_new = wc - alpha * z_new
                     gam = gam + jnp.sum(r_new * r_new)
                     ddd = ddd + jnp.sum(w_new * r_new)
+                    if lm:  # Q sequence: qd = <delta_new, r_new + b>
+                        qdd = qdd + jnp.sum(
+                            d_new * (r_new + sbx[B_sb:B_sb + nU]))
+                    out_acc = (gam, ddd, qdd) if lm else (gam, ddd)
                     sbx[pl.ds(Z, nU)] = z_new
                     sbx[pl.ds(S, nU)] = s_new
                     sbx[pl.ds(Pp, nU)] = p_new
@@ -405,7 +485,7 @@ class StreamSolver3D:
                     wwx[:, pl.ds(0, T_d), pl.ds(0, T_h)] = w_new
                     cps = [
                         pltpu.make_async_copy(
-                            sbx,
+                            sbx.at[pl.ds(0, 5 * nU)],
                             st_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
                             sm),
                         pltpu.make_async_copy(
@@ -418,10 +498,11 @@ class StreamSolver3D:
                         cp.start()
                     for cp in cps:
                         cp.wait()
-                    return gam, ddd
+                    return out_acc
 
                 def sweep(src_off, dst_off, alpha, beta):
-                    zero = (jnp.float32(0.0), jnp.float32(0.0))
+                    n_acc = 3 if (lm and mode == "iter") else 2
+                    zero = (jnp.float32(0.0),) * n_acc
                     if n_tiles % 2:
                         def tile(t, acc):
                             d0, r0 = coords(t)
@@ -455,28 +536,98 @@ class StreamSolver3D:
 
                 return sweep
 
-            init_sweep = make_sweep(True)
-            iter_sweep = make_sweep(False)
+            init_sweep = make_sweep("init")
+            iter_sweep = make_sweep("iter")
 
             # prologue: w_0 = A_hat r_0 -> slot 1, dd_0 = <w_0, r_0>
             _, dd0 = init_sweep(0, nU, jnp.float32(0.0), jnp.float32(0.0))
 
+            zero_f = jnp.float32(0.0)
+            if not lm:
+                def body(carry):
+                    it, gamma, dd, gamma_prev, alpha_prev = carry
+                    first = it == 0
+                    beta = jnp.where(first, 0.0,
+                                     _sdiv(gamma, gamma_prev))
+                    denom = dd - beta * _sdiv(gamma, alpha_prev)
+                    alpha = jnp.where(first, _sdiv(gamma, dd),
+                                      _sdiv(gamma, denom))
+                    src = nU * ((it + 1) % 2)
+                    dst = nU * (it % 2)
+                    g2, dd2 = iter_sweep(src, dst, alpha, beta)
+                    return it + 1, g2, dd2, gamma, alpha
+
+                jax.lax.while_loop(
+                    lambda c: c[0] < L, body,
+                    (jnp.int32(0), gamma0, dd0, zero_f,
+                     jnp.float32(1.0)),
+                )
+                return
+
+            reset_r_sweep = make_sweep("reset_r")
+
+            def copy_delta(scr_off):
+                """Reset pass A: stage delta (st Dd rows, no halo) into
+                the free w slot, whose halo region is still zero from
+                the zero-initialized input (all sweep writes touch only
+                tile centers)."""
+                def tile(t, _):
+                    d0, r0 = coords(t)
+                    cp = pltpu.make_async_copy(
+                        st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)],
+                        sb.at[pl.ds(0, nU)], sem)
+                    cp.start(); cp.wait()
+                    cp = pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        w_any.at[pl.ds(scr_off, nU),
+                                 pl.ds(d0 + h_d, T_d),
+                                 pl.ds(r0 + h_h, T_h)], sem)
+                    cp.start(); cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, tile, 0)
+
             def body(carry):
-                it, gamma, dd, gamma_prev, alpha_prev = carry
+                (it, gamma, dd, gamma_prev, alpha_prev,
+                 Q0, brk, flip) = carry
                 first = it == 0
                 beta = jnp.where(first, 0.0, _sdiv(gamma, gamma_prev))
                 denom = dd - beta * _sdiv(gamma, alpha_prev)
                 alpha = jnp.where(first, _sdiv(gamma, dd),
                                   _sdiv(gamma, denom))
-                src = nU * ((it + 1) % 2)
-                dst = nU * (it % 2)
-                g2, dd2 = iter_sweep(src, dst, alpha, beta)
-                return it + 1, g2, dd2, gamma, alpha
+                src = nU * ((it + 1 + flip) % 2)
+                dst = nU * ((it + flip) % 2)
+                g2, dd2, qd = iter_sweep(src, dst, alpha, beta)
+
+                def reset_branch(_):
+                    # exact residual replacement (the 2-D pipelined-LM
+                    # slot dance, stream_solver.py; classic contract:
+                    # solverGPUGaussNewton.t:2128-2139): after the
+                    # sweep src is free -> stage delta there (A); apply
+                    # it, replace r into st R AND dst's center rows as
+                    # haloed scratch (B); apply dst, write the fresh
+                    # w back into src (C) and FLIP the parity so the
+                    # next sweep reads it from there.
+                    copy_delta(src)
+                    gr, qr = reset_r_sweep(src, dst, zero_f, zero_f)
+                    _, ddr = init_sweep(dst, src, zero_f, zero_f)
+                    return gr, ddr, qr, flip ^ 1
+
+                do_reset = ((it + 1) % period) == 0
+                g2, dd2, qd, flip = jax.lax.cond(
+                    do_reset, reset_branch,
+                    lambda _: (g2, dd2, qd, flip), None)
+                Q1 = 0.5 * qd
+                zeta = (it + 1).astype(jnp.float32) * _sdiv(
+                    Q1 - Q0, Q1)
+                brk = zeta < q_tol
+                return (it + 1, g2, dd2, gamma, alpha, Q1, brk, flip)
 
             jax.lax.while_loop(
-                lambda c: c[0] < L, body,
-                (jnp.int32(0), gamma0, dd0, jnp.float32(0.0),
-                 jnp.float32(1.0)),
+                lambda c: (c[0] < L) & (~c[6]), body,
+                (jnp.int32(0), gamma0, dd0, zero_f, jnp.float32(1.0),
+                 zero_f, jnp.asarray(False), jnp.int32(0)),
             )
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -484,10 +635,10 @@ class StreamSolver3D:
         scratch = [
             pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins A
             pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),   # w A
-            pltpu.VMEM((5 * nU, T_d, T_h, W), jnp.float32),   # state A
+            pltpu.VMEM((NSB, T_d, T_h, W), jnp.float32),      # state A
             pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins B
             pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),   # w B
-            pltpu.VMEM((5 * nU, T_d, T_h, W), jnp.float32),   # state B
+            pltpu.VMEM((NSB, T_d, T_h, W), jnp.float32),      # state B
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
@@ -498,7 +649,8 @@ class StreamSolver3D:
         )
         return pl.pallas_call(
             kernel,
-            in_specs=[any_spec, any_spec, any_spec, sspec, sspec],
+            in_specs=[any_spec, any_spec, any_spec, sspec, sspec]
+            + ([sspec] if lm else []),
             out_specs=(any_spec,) * 2,
             out_shape=out_shapes,
             input_output_aliases={2: 1},   # w_in -> w workspace
@@ -527,8 +679,9 @@ class StreamSolver3D:
         def planes(arr):
             return [arr[..., c] for c in range(arr.shape[-1])]
 
+        lm = self.plan.config.uses_lambda
+
         def backend(x, data, sq, scs, b_hat, sp):
-            del scs  # GN only
             stack = []
             for n in un:
                 stack += [pad_plane(p) for p in planes(x[n])]
@@ -536,6 +689,9 @@ class StreamSolver3D:
                 stack += [pad_plane(p) for p in planes(data["images"][n])]
             for n in un:
                 stack += [pad_plane(p) for p in planes(sq[n])]
+            if lm:
+                for n in un:
+                    stack += [pad_plane(p) for p in planes(scs[n])]
             ins = jnp.stack(stack)
             b = jnp.stack([p for n in un for p in planes(b_hat[n])])
             w0 = jnp.zeros(
@@ -544,9 +700,18 @@ class StreamSolver3D:
                 [jnp.asarray(data["params"][n], jnp.float32)
                  for n in pn]
             ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
-            ctl_i = jnp.asarray(
-                sp["lIterations"], jnp.int32).reshape(1, 1)
-            st, _ = kern(ins, b, w0, pvals, ctl_i)
+            if lm:
+                ctl_i = jnp.stack([
+                    jnp.asarray(sp["lIterations"], jnp.int32),
+                    jnp.asarray(sp["residual_reset_period"], jnp.int32),
+                ]).reshape(2, 1)
+                ctl_f = jnp.asarray(
+                    sp["q_tolerance"], jnp.float32).reshape(1, 1)
+                st, _ = kern(ins, b, w0, pvals, ctl_i, ctl_f)
+            else:
+                ctl_i = jnp.asarray(
+                    sp["lIterations"], jnp.int32).reshape(1, 1)
+                st, _ = kern(ins, b, w0, pvals, ctl_i)
             out = {}
             k = 0
             for n in un:
@@ -561,9 +726,10 @@ class StreamSolver3D:
     # -- harness-compatible whole solve --------------------------------------
 
     def solve(self, inputs, interpret=None):
-        """Full GN solve through solver/core with the streamed 3-D inner
-        loop; the outer step (cost/JtF/diag) runs whole-grid on XLA
-        (fits HBM through 256^3 -- no 3-D chunked-outer yet)."""
+        """Full solve (GN or LM) through solver/core with the streamed
+        3-D inner loop; the outer step (cost/JtF/diag/trust region)
+        runs whole-grid on XLA (fits HBM through 256^3 -- no 3-D
+        chunked-outer yet)."""
         from ..solver.core import SolverConfig, make_solver
 
         plan = self.plan

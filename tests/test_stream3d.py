@@ -86,9 +86,9 @@ def test_stream3d_odd_tiles_serial():
 
 
 def test_supports3d_gates():
-    # LM is XLA-only for 3-D
+    # LM runs on the pipelined loop too
     plan_lm = _plan([128, 16, 8], kind="LMGPU")
-    assert not supports3d(plan_lm)
+    assert supports3d(plan_lm)
     # lane-misaligned W
     plan_w = _plan([64, 16, 8])
     assert not supports3d(plan_w)
@@ -99,6 +99,39 @@ def test_supports3d_gates():
         [128, 64],
     )
     assert not supports3d(plan2d)
+
+
+def test_stream3d_lm_matches_xla():
+    """LM on the 3-D pipelined loop: scs diagonal, in-sweep Q
+    accumulation, zeta exit, and the 3-pass exact residual replacement
+    with slot-parity flip.  15 linear iterations with period 10
+    exercises the reset branch; multi-tile exercises halos."""
+    W, H, D = 128, 16, 8
+    plan = _plan([W, H, D], kind="LMGPU")
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 15)
+    assert int(plan.solver_params["residual_reset_period"]) == 10
+    inputs = _vol_inputs(W, H, D)
+    ref = plan.solve(dict(inputs), engine="xla")
+    eng = StreamSolver3D(plan, tile_d=4, tile_h=8)
+    assert eng.n_td * eng.n_th == 4
+    out = eng.solve(dict(inputs), interpret=True)
+    np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
+
+
+def test_stream3d_lm_no_reset_serial():
+    """LM through the serial (odd tile count) sweep path with no reset
+    inside the linear loop (period > lIterations)."""
+    W, H, D = 128, 16, 24
+    plan = _plan([W, H, D], kind="LMGPU")
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 8)
+    inputs = _vol_inputs(W, H, D)
+    ref = plan.solve(dict(inputs), engine="xla")
+    eng = StreamSolver3D(plan, tile_d=8, tile_h=16)
+    assert eng.n_td * eng.n_th == 3
+    out = eng.solve(dict(inputs), interpret=True)
+    np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
 
 
 def test_plan_solve_engine_dispatch(vol_case):
