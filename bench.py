@@ -116,6 +116,11 @@ def main():
     except Exception as e:
         print(f"# large-grid aux bench failed: {e!r:.120}",
               file=sys.stderr)
+    try:
+        aux_volumetric(sys.stderr)
+    except Exception as e:
+        print(f"# volumetric aux bench failed: {e!r:.120}",
+              file=sys.stderr)
 
 
 def tri_grid_graph(w, h):
@@ -267,6 +272,84 @@ def aux_large_grid(err):
         f"stream_hbm={min(t_lm):.1f} ms (T={eng_lm.tile} "
         f"{eng_lm.variant}{'+fused' if eng_lm.fuse_beta else ''}) "
         f"cost={cost_lm:.4f}", file=err,
+    )
+
+
+def aux_volumetric(err):
+    """128^3 volumetric ARAP 8x100: the 3-D streamed engine
+    (ops/stream3d.py) vs the fused XLA path -- tracks the new 3-D
+    regime so BENCH_r{N}.json's stderr catches a regression (or a
+    Mosaic compile break) in either."""
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+    from opt_tpu.ops.stream3d import StreamSolver3D
+
+    side, n_outer, n_lin = 128, 8, 100
+    rng = np.random.RandomState(0)
+    n = side
+    ii, jj, kk = np.meshgrid(
+        np.arange(n, dtype=np.float32),
+        np.arange(n, dtype=np.float32),
+        np.arange(n, dtype=np.float32),
+        indexing="ij",
+    )
+    grid = np.stack([ii, jj, kk], axis=-1)
+    cons = np.full_like(grid, -np.inf)
+    cons[:, 0] = grid[:, 0]
+    cons[:, n - 1] = grid[:, n - 1] + np.array([2.5, -2.5, 0.0],
+                                               np.float32)
+    inputs = {
+        "Offset": grid + 0.01 * rng.randn(*grid.shape).astype(np.float32),
+        "UrShape": grid.copy(),
+        "Angle": np.zeros_like(grid),
+        "Constraints": cons.astype(np.float32),
+        "w_fitSqrt": np.sqrt(1.0),
+        "w_regSqrt": np.sqrt(0.05),
+    }
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(
+            energies.ALL_ENERGIES["volumetric_mesh_deformation"],
+            "gaussNewtonGPU"), [side] * 3,
+    )
+    plan.set_solver_parameter("nIterations", n_outer)
+    plan.set_solver_parameter("lIterations", n_lin)
+
+    x, data = plan.bind(inputs)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
+    st = plan._full_solve_fn(x, data, sp)
+    cost_xla = float(st["prev_cost"])
+    t_xla = []
+    for rep in (1, 2):
+        xr = dict(x)
+        xr["Offset"] = x["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(xr)
+        t0 = time.perf_counter()
+        st = plan._full_solve_fn(xr, data, sp)
+        _ = float(st["prev_cost"])
+        t_xla.append((time.perf_counter() - t0) * 1e3)
+
+    eng = StreamSolver3D(plan)
+    dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in inputs.items()}
+    out = eng.solve(dev)  # warmup + compile
+    cost_eng = out["final_cost"]
+    t_eng = []
+    for rep in (1, 2):
+        di = dict(dev)
+        di["Offset"] = dev["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(di["Offset"])
+        t0 = time.perf_counter()
+        out = eng.solve(di)
+        t_eng.append((time.perf_counter() - t0) * 1e3)
+    print(
+        f"# aux volumetric_128_gn_solve(8x100): "
+        f"stream3d={min(t_eng):.1f} ms (T=({eng.tile_d},{eng.tile_h})) "
+        f"xla={min(t_xla):.1f} ms speedup={min(t_xla)/min(t_eng):.2f}x "
+        f"cost_eng={cost_eng:.6g} cost_xla={cost_xla:.6g}", file=err,
     )
 
 
