@@ -282,12 +282,381 @@ class ShardedStreamEngine:
         def psum(v):
             return jax.lax.psum(v, ax)
 
-        def tdot(a, b):
-            return sum(
-                jnp.sum(x * y) for x, y in zip(
-                    jax.tree_util.tree_leaves(a),
-                    jax.tree_util.tree_leaves(b))
+        def backend(x, data, sq, scs, b_hat, sp):
+            L = jnp.asarray(sp["lIterations"], jnp.int32)
+            stack = []
+            for n in un:
+                stack += [pad(ext(p)) for p in planes(x[n])]
+            for n in cn:
+                stack += [pad(ext(p)) for p in planes(data["images"][n])]
+            for n in un:
+                stack += [pad(ext(p)) for p in planes(sq[n])]
+            ins = jnp.stack(stack)
+            pvals = jnp.stack(
+                [jnp.asarray(data["params"][n], jnp.float32)
+                 for n in pn]
+            ).reshape(-1, 1) if pn else jnp.zeros((1, 1), jnp.float32)
+            row0 = (
+                jax.lax.axis_index(ax).astype(jnp.int32) * n_local - he
+            ).reshape(1, 1)
+
+            def A(p):
+                pe = jnp.stack(
+                    [pad(ext(pp)) for n in un for pp in planes(p[n])]
+                )
+                ap = kern(ins, pe, pvals, row0)[:, he:he + n_local]
+                out, k = {}, 0
+                for n in un:
+                    c = chans[n]
+                    out[n] = jnp.stack(
+                        [ap[k + j] for j in range(c)], axis=-1)
+                    k += c
+                return out
+
+            return _shard_pcg(variant, A, psum, b_hat, L)
+
+        return backend
+
+
+def _tdot(a, b):
+    return sum(
+        jnp.sum(x * y) for x, y in zip(
+            jax.tree_util.tree_leaves(a),
+            jax.tree_util.tree_leaves(b))
+    )
+
+
+def _shard_pcg(variant, A, psum, b_hat, L):
+    """The shard-level hat-space PCG loops shared by the 2-D and 3-D
+    engines: variant='pipelined' (Ghysels & Vanroose with M=I -- both
+    psums read only the previous iteration's vectors, so on real
+    multi-chip hardware their latency overlaps the halo-exchanged
+    apply) or 'classic' (two barriers) for comparison."""
+
+    def sdiv(a, b):
+        return jnp.where(
+            b != 0.0, a / jnp.where(b != 0.0, b, 1.0), 0.0)
+
+    r0 = b_hat
+    if variant == "pipelined":
+        # M = I collapses u=r, q=s, m=w of core.pcg_pipelined
+        w0 = A(r0)
+        zl = tmap(jnp.zeros_like, r0)
+        carry0 = {
+            "delta": zl, "r": r0, "w": w0,
+            "z": zl, "s": zl, "p": zl,
+            "gamma": jnp.float32(0.0),
+            "alpha": jnp.float32(1.0),
+            "i": jnp.asarray(0, jnp.int32),
+        }
+
+        def body(c):
+            i = c["i"]
+            # both reductions read only last iteration's r/w:
+            # their psums overlap the apply below on a real mesh
+            gamma = psum(_tdot(c["r"], c["r"]))
+            dd = psum(_tdot(c["w"], c["r"]))
+            n = A(c["w"])
+            first = i == 0
+            beta = jnp.where(first, 0.0, sdiv(gamma, c["gamma"]))
+            denom = dd - beta * sdiv(gamma, c["alpha"])
+            alpha = jnp.where(
+                first, sdiv(gamma, dd), sdiv(gamma, denom))
+            z = tmap(lambda nn, zz: nn + beta * zz, n, c["z"])
+            s = tmap(lambda ww, ss: ww + beta * ss,
+                     c["w"], c["s"])
+            p = tmap(lambda rr, pp: rr + beta * pp,
+                     c["r"], c["p"])
+            return {
+                "delta": tmap(
+                    lambda pp, d: d + alpha * pp, p, c["delta"]),
+                "r": tmap(
+                    lambda ss, rr: rr - alpha * ss, s, c["r"]),
+                "w": tmap(
+                    lambda zz, ww: ww - alpha * zz, z, c["w"]),
+                "z": z, "s": s, "p": p,
+                "gamma": gamma, "alpha": alpha,
+                "i": i + 1,
+            }
+
+        out = jax.lax.while_loop(
+            lambda c: c["i"] < L, body, carry0)
+        return out["delta"]
+
+    an0 = psum(_tdot(r0, r0))
+    carry0 = {
+        "delta": tmap(jnp.zeros_like, r0),
+        "r": r0, "p": r0, "an": an0,
+        "i": jnp.asarray(0, jnp.int32),
+    }
+
+    def body(c):
+        Ap = A(c["p"])
+        pap = psum(_tdot(c["p"], Ap))
+        alpha = sdiv(c["an"], pap)
+        delta = tmap(
+            lambda p_, d: d + alpha * p_, c["p"], c["delta"])
+        r = tmap(lambda ap, rr: rr - alpha * ap, Ap, c["r"])
+        bn = psum(_tdot(r, r))
+        beta = sdiv(bn, c["an"])
+        p = tmap(lambda rr, pp: rr + beta * pp, r, c["p"])
+        return {"delta": delta, "r": r, "p": p, "an": bn,
+                "i": c["i"] + 1}
+
+    out = jax.lax.while_loop(
+        lambda c: c["i"] < L, body, carry0)
+    return out["delta"]
+
+
+def supports3d(plan, mesh):
+    """3-D eligibility: GN, one 3-D f32 grid ispace, no SampledImage,
+    W lane-aligned, H sublane-aligned, D divisible into slabs >= the
+    exchange halo (D is the Mosaic-untiled axis, so the halo needs no
+    alignment -- unlike the 2-D engine's sublane rows)."""
+    if plan.config.uses_lambda or plan.spec.graphs:
+        return False
+    if plan.funcs.dtype != jnp.float32:
+        return False
+    keys = {im.ispace.key() for im in plan.spec.images.values()}
+    if len(keys) != 1:
+        return False
+    for g in plan.funcs.groups:
+        if g.kind != "centered" or g.ispace.ndims != 3:
+            return False
+    has_sampled = [False]
+
+    def _chk(a):
+        if isinstance(a, E.SampledAccess):
+            has_sampled[0] = True
+
+    for exp in plan.spec.terms:
+        E.visit(exp, _chk)
+    if has_sampled[0]:
+        return False
+    D, H, W = next(iter(plan.spec.images.values())).ispace.shape
+    n_dev = mesh.devices.size
+    if W % LANE or H % SUBLANE or D % n_dev:
+        return False
+    n_local = D // n_dev
+    from ..ops.stream3d import _stencil_radius_axis as _sra
+
+    he = max(2 * _sra(plan.spec, 0), 1)
+    return n_local >= he
+
+
+class ShardedStream3D:
+    """Per-shard two-axis-tiled streamed apply for 3-D grids under
+    shard_map: each device owns a D-slab (1-D mesh), p-halo PLANES move
+    by ppermute before each apply, and the apply runs one Pallas kernel
+    per device per iteration over the locally materialized
+    (slab + 2*he) volume -- the 3-D counterpart of ShardedStreamEngine,
+    sharing its shard-level pipelined/classic PCG loops.  GN only (like
+    the 2-D engine); reference role: backend_cpu_mt.t:698-944."""
+
+    def __init__(self, plan, mesh, tile_d=None, tile_h=None):
+        assert supports3d(plan, mesh), (
+            "plan/mesh not eligible for the 3-D sharded stream engine"
+        )
+        self.plan = plan
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_dev = int(mesh.devices.size)
+        funcs = plan.funcs
+        D, H, W = next(iter(plan.spec.images.values())).ispace.shape
+        self.D, self.H, self.W = D, H, W
+        self.n_local = D // self.n_dev
+        from ..ops.stream3d import _stencil_radius_axis as _sra
+
+        self.he = max(2 * _sra(plan.spec, 0), 1)   # untiled: exact halo
+        self.h_d = self.he
+        self.h_h = _roundup(max(2 * _sra(plan.spec, 1), 1), SUBLANE)
+        self.D_s = self.n_local + 2 * self.he      # extended slab depth
+        # tiles over (extended slab depth) x H; smallest counts that
+        # divide, capped so tiny dryrun shapes stay one window
+        cap_d = tile_d or 8
+        T_d = None
+        t = min(cap_d, self.D_s)
+        while t >= 1:
+            if self.D_s % t == 0:
+                T_d = t
+                break
+            t -= 1
+        cap_h = tile_h or 64
+        T_h = None
+        t = min(cap_h, H)
+        while t >= SUBLANE:
+            if H % t == 0 and t >= self.h_h:
+                T_h = t
+                break
+            t -= SUBLANE
+        assert T_d is not None and T_h is not None, (
+            "no feasible tile pair for the extended slab"
+        )
+        self.tile_d, self.tile_h = T_d, T_h
+        self.n_td = self.D_s // T_d
+        self.n_th = H // T_h
+
+        WIN_d = T_d + 2 * self.h_d
+        WIN_h = T_h + 2 * self.h_h
+        dims_ext = list(plan.dims)
+        dims_ext[-1] = WIN_d
+        dims_ext[-2] = WIN_h
+        spec_t = ProblemSpec()
+        env = EnergyEnv(spec_t, dims_ext)
+        from ..runtime.api import _run_energy
+
+        _run_energy(plan.problem.energy, env)
+        real_shapes = {
+            im.ispace.key(): im.ispace.shape
+            for im in plan.spec.images.values()
+        }
+        self.tfuncs = ProblemFunctions(
+            spec_t, funcs.dtype, real_shapes=real_shapes, kernel_safe=True
+        )
+        self.unknown_names = sorted(funcs.unknown_shapes)
+        self.const_names = sorted(
+            n for n, im in plan.spec.images.items()
+            if not im.is_unknown and n not in funcs.aliases
+        )
+        self.param_names = sorted(plan.spec.params)
+        self.chans = {
+            n: plan.spec.images[n].channels
+            for n in self.unknown_names + self.const_names
+        }
+
+    def build_apply_kernel(self, interpret):
+        """pallas_call computing A_hat p = S J^T J S p over the extended
+        slab: ins/p (n, D_s+2h_d, H+2h_h, W) channel planes, row0 the
+        slab's global depth offset (SMEM), out (nU, D_s, H, W).  One
+        serial (n_td x n_th) tile sweep; the dryrun runs interpret."""
+        T_d, T_h = self.tile_d, self.tile_h
+        h_d, h_h, W = self.h_d, self.h_h, self.W
+        H = self.H
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        tf = self.tfuncs
+        n_td, n_th = self.n_td, self.n_th
+        nU = sum(chans[n] for n in un)
+        nC = sum(chans[n] for n in cn)
+        nIn = 2 * nU + nC
+        WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
+        D_s = self.D_s
+
+        def kernel(ins_any, p_any, pref, rref, out_any, insw, pw, sem):
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+            row0 = rref[0, 0]
+
+            def tile_body(t, _):
+                td = t // n_th
+                th = t % n_th
+                d0 = td * T_d
+                r0 = pl.multiple_of(th * T_h, SUBLANE)
+                cps = [
+                    pltpu.make_async_copy(
+                        ins_any.at[:, pl.ds(d0, WIN_d),
+                                   pl.ds(r0, WIN_h)], insw, sem),
+                    pltpu.make_async_copy(
+                        p_any.at[:, pl.ds(d0, WIN_d),
+                                 pl.ds(r0, WIN_h)], pw, sem),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                j = 0
+                x_win = {}
+                for n in un:
+                    x_win[n] = [insw[j + c] for c in range(chans[n])]
+                    j += chans[n]
+                imgs = {}
+                for n in cn:
+                    imgs[n] = [insw[j + c] for c in range(chans[n])]
+                    j += chans[n]
+                sq_win = [insw[j + k] for k in range(nU)]
+                data_win = {"images": imgs, "params": params,
+                            "graph_indices": {}}
+                pv = [pw[k] for k in range(nU)]
+                k = 0
+                p_sc = {}
+                for n in un:
+                    pwn = []
+                    for c in range(chans[n]):
+                        pwn.append(sq_win[k] * pv[k])
+                        k += 1
+                    p_sc[n] = pwn
+                tf.coord_offsets = (row0 + d0 - h_d, r0 - h_h, 0)
+                fn = lambda xx: tf.residuals_solve(xx, data_win)
+                _, jvp_fn = jax.linearize(fn, x_win)
+                jt_fn = jax.linear_transpose(jvp_fn, x_win)
+                (grad,) = jt_fn(jvp_fn(p_sc))
+                aps = []
+                k = 0
+                for n in un:
+                    for c in range(chans[n]):
+                        aps.append(
+                            sq_win[k][h_d:h_d + T_d, h_h:h_h + T_h]
+                            * grad[n][c][h_d:h_d + T_d, h_h:h_h + T_h])
+                        k += 1
+                pw[:, pl.ds(0, T_d), pl.ds(0, T_h)] = jnp.stack(aps)
+                cp = pltpu.make_async_copy(
+                    pw.at[:, pl.ds(0, T_d), pl.ds(0, T_h)],
+                    out_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)], sem)
+                cp.start(); cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_td * n_th, tile_body, 0)
+
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),
+            pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec, any_spec, sspec, sspec],
+            out_specs=any_spec,
+            out_shape=jax.ShapeDtypeStruct((nU, D_s, H, W), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+    def as_pcg_backend(self, interpret=None, variant="pipelined"):
+        """Shard-level hat-space PCG with the per-shard 3-D apply; same
+        pipelined/classic loops as the 2-D engine (_shard_pcg)."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        kern = self.build_apply_kernel(interpret)
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        he, h_d, h_h = self.he, self.h_d, self.h_h
+        n_local = self.n_local
+        nU = sum(chans[n] for n in un)
+        ax = self.axis
+        n_dev = self.n_dev
+
+        def ext(a):
+            """(n_local, H, W) local volume -> (D_s, H, W) with neighbor
+            planes (edge devices zero-fill, matching global zero-pad)."""
+            up = jax.lax.ppermute(
+                a[-he:], ax, perm=[(i, i + 1) for i in range(n_dev - 1)]
             )
+            dn = jax.lax.ppermute(
+                a[:he], ax, perm=[(i + 1, i) for i in range(n_dev - 1)]
+            )
+            return jnp.concatenate([up, a, dn], axis=0)
+
+        def pad(a):
+            return jnp.pad(a, ((h_d, h_d), (h_h, h_h), (0, 0)))
+
+        def planes(arr):
+            return [arr[..., c] for c in range(arr.shape[-1])]
+
+        def psum(v):
+            return jax.lax.psum(v, ax)
 
         def backend(x, data, sq, scs, b_hat, sp):
             L = jnp.asarray(sp["lIterations"], jnp.int32)
@@ -320,81 +689,45 @@ class ShardedStreamEngine:
                     k += c
                 return out
 
-            def sdiv(a, b):
-                return jnp.where(
-                    b != 0.0, a / jnp.where(b != 0.0, b, 1.0), 0.0)
-
-            r0 = b_hat
-            if variant == "pipelined":
-                # M = I collapses u=r, q=s, m=w of core.pcg_pipelined
-                w0 = A(r0)
-                zl = tmap(jnp.zeros_like, r0)
-                carry0 = {
-                    "delta": zl, "r": r0, "w": w0,
-                    "z": zl, "s": zl, "p": zl,
-                    "gamma": jnp.float32(0.0),
-                    "alpha": jnp.float32(1.0),
-                    "i": jnp.asarray(0, jnp.int32),
-                }
-
-                def body(c):
-                    i = c["i"]
-                    # both reductions read only last iteration's r/w:
-                    # their psums overlap the apply below on a real mesh
-                    gamma = psum(tdot(c["r"], c["r"]))
-                    dd = psum(tdot(c["w"], c["r"]))
-                    n = A(c["w"])
-                    first = i == 0
-                    beta = jnp.where(first, 0.0, sdiv(gamma, c["gamma"]))
-                    denom = dd - beta * sdiv(gamma, c["alpha"])
-                    alpha = jnp.where(
-                        first, sdiv(gamma, dd), sdiv(gamma, denom))
-                    z = tmap(lambda nn, zz: nn + beta * zz, n, c["z"])
-                    s = tmap(lambda ww, ss: ww + beta * ss,
-                             c["w"], c["s"])
-                    p = tmap(lambda rr, pp: rr + beta * pp,
-                             c["r"], c["p"])
-                    return {
-                        "delta": tmap(
-                            lambda pp, d: d + alpha * pp, p, c["delta"]),
-                        "r": tmap(
-                            lambda ss, rr: rr - alpha * ss, s, c["r"]),
-                        "w": tmap(
-                            lambda zz, ww: ww - alpha * zz, z, c["w"]),
-                        "z": z, "s": s, "p": p,
-                        "gamma": gamma, "alpha": alpha,
-                        "i": i + 1,
-                    }
-
-                out = jax.lax.while_loop(
-                    lambda c: c["i"] < L, body, carry0)
-                return out["delta"]
-
-            an0 = psum(tdot(r0, r0))
-            carry0 = {
-                "delta": tmap(jnp.zeros_like, r0),
-                "r": r0, "p": r0, "an": an0,
-                "i": jnp.asarray(0, jnp.int32),
-            }
-
-            def body(c):
-                Ap = A(c["p"])
-                pap = psum(tdot(c["p"], Ap))
-                alpha = sdiv(c["an"], pap)
-                delta = tmap(
-                    lambda p_, d: d + alpha * p_, c["p"], c["delta"])
-                r = tmap(lambda ap, rr: rr - alpha * ap, Ap, c["r"])
-                bn = psum(tdot(r, r))
-                beta = sdiv(bn, c["an"])
-                p = tmap(lambda rr, pp: rr + beta * pp, r, c["p"])
-                return {"delta": delta, "r": r, "p": p, "an": bn,
-                        "i": c["i"] + 1}
-
-            out = jax.lax.while_loop(
-                lambda c: c["i"] < L, body, carry0)
-            return out["delta"]
+            return _shard_pcg(variant, A, psum, b_hat, L)
 
         return backend
+
+
+def make_sharded_stream3d_solver(plan, mesh, interpret=None, tile_d=None,
+                                 tile_h=None, variant="pipelined"):
+    """full_solve under shard_map with the 3-D per-shard streamed apply
+    (outer iterations via ShardedGridFuncs, like make_sharded_stream_solver)."""
+    from .halo import make_halo_solver
+
+    eng = ShardedStream3D(plan, mesh, tile_d=tile_d, tile_h=tile_h)
+    return make_halo_solver(
+        plan, mesh, pcg_backend=eng.as_pcg_backend(interpret, variant)
+    )
+
+
+def solve_sharded_stream3d(plan, inputs, mesh, n_iterations=None,
+                           interpret=None, tile_d=None, tile_h=None,
+                           variant="pipelined"):
+    """Full solve with the multi-chip 3-D streamed engine; returns the
+    final cost (replicated scalar)."""
+    from . import mesh as pmesh
+
+    x, data = plan.bind(inputs, graph_mode="take")
+    solve, _, _ = make_sharded_stream3d_solver(
+        plan, mesh, interpret=interpret, tile_d=tile_d, tile_h=tile_h,
+        variant=variant)
+    x, data = pmesh.shard_problem(plan, x, data, mesh)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(
+        int(n_iterations or plan.solver_params["nIterations"]), jnp.int32
+    )
+    with mesh:
+        st = jax.jit(solve)(x, data, sp)
+        jax.block_until_ready(st)
+    plan._state = st
+    plan._data = data
+    return float(st["prev_cost"])
 
 
 def make_sharded_stream_solver(plan, mesh, interpret=None, tile=None,

@@ -156,3 +156,51 @@ def test_sharded_stream_rejects_lm_and_graphs():
     assert not pss.supports(lm, _mesh1d())
     graph = _plan(energies.arap_mesh_deformation, [64, 128])
     assert not pss.supports(graph, _mesh1d())
+
+
+def _vol_inputs(W, H, D, seed=2):
+    rng = np.random.RandomState(seed)
+    ii, jj, kk = np.meshgrid(
+        np.arange(D), np.arange(H), np.arange(W), indexing="ij")
+    grid = np.stack([ii, jj, kk], -1).astype(np.float32)
+    cons = np.full_like(grid, -np.inf)
+    cons[:, 0] = grid[:, 0]
+    cons[:, -1] = grid[:, -1] + np.float32(1.5)
+    return {
+        "Offset": grid + 0.01 * rng.randn(*grid.shape).astype(np.float32),
+        "UrShape": grid.copy(),
+        "Angle": np.zeros_like(grid),
+        "Constraints": cons.astype(np.float32),
+        "w_fitSqrt": 1.0,
+        "w_regSqrt": np.sqrt(0.5),
+    }
+
+
+@pytest.mark.parametrize("variant", ["pipelined", "classic"])
+def test_sharded_stream3d_matches_single(variant):
+    """3-D per-shard streamed apply (ShardedStream3D): each device owns
+    a D-slab, halo PLANES ppermute, scalars psum.  Tolerance 5e-4:
+    volumetric f32 sums already differ ~8e-5 across reduction trees
+    (tests/test_sharding.py docstring)."""
+    from opt_tpu.parallel import stream_shard as pss
+
+    energy = energies.ALL_ENERGIES["volumetric_mesh_deformation"]
+    W, H, D = 128, 16, 16   # 8 devices -> n_local=2 >= he=2
+    inputs = _vol_inputs(W, H, D)
+    ref = _single(energy, [W, H, D], inputs)
+    plan = _plan(energy, [W, H, D])
+    assert pss.supports3d(plan, _mesh1d())
+    cost = pss.solve_sharded_stream3d(plan, inputs, _mesh1d(),
+                                      variant=variant)
+    assert cost == pytest.approx(ref, rel=5e-4)
+
+
+def test_sharded_stream3d_rejects():
+    from opt_tpu.parallel import stream_shard as pss
+
+    energy = energies.ALL_ENERGIES["volumetric_mesh_deformation"]
+    # D=8 over 8 devices -> n_local=1 < he=2
+    thin = _plan(energy, [128, 16, 8])
+    assert not pss.supports3d(thin, _mesh1d())
+    lm = _plan(energy, [128, 16, 16], "LMGPU")
+    assert not pss.supports3d(lm, _mesh1d())
