@@ -194,8 +194,8 @@ def volumetric_inputs(side, seed=0):
 
 def cmd_volumetric(sides):
     """3D-grid scaling: fused XLA vs the two-axis-tiled streamed engine
-    (ops/stream3d.py; eligible when side % 128 == 0, so 192^3 runs XLA
-    only)."""
+    (ops/stream3d.py; unaligned sides lane-pad, e.g. 192 -> 256 lanes
+    at +33% streamed traffic)."""
     from opt_tpu.ops.stream3d import StreamSolver3D, supports3d
 
     n_outer, n_lin = 8, 100

@@ -12,7 +12,8 @@ therefore tiles TWO axes:
                                            tile size (no alignment)
     H  (array axis 1, sublane axis)     -> halo h_h = roundup(2r, 8),
                                            tile multiple of 8
-    W  (array axis 2, lane axis)        -> whole rows, W % 128 == 0
+    W  (array axis 2, lane axis)        -> whole rows, zero-padded
+                                           to the next lane multiple
 
 Windows are (T_d + 2h_d, T_h + 2h_h, W) channel planes; the evaluator
 is the SAME traced ProblemFunctions machinery as the 2-D engine
@@ -111,6 +112,7 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
     if len(shape) != 3:
         return None
     D, H, W = shape
+    Hp, Wp = _roundup(H, SUBLANE), _roundup(W, LANE)
     r_d = _stencil_radius_axis(plan.spec, 0)
     r_h = _stencil_radius_axis(plan.spec, 1)
     h_d = max(2 * r_d, 1)
@@ -120,13 +122,14 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
     for T_d in range(1, min(D, max_tile_d or 64) + 1):
         if D % T_d:
             continue
-        for T_h in range(SUBLANE, min(H, max_tile_h or 256) + 1, SUBLANE):
-            if H % T_h or T_h < h_h:
+        for T_h in range(SUBLANE, min(Hp, max_tile_h or 256) + 1,
+                         SUBLANE):
+            if Hp % T_h or T_h < h_h:
                 continue
-            if _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W) > budget:
+            if _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, Wp) > budget:
                 continue
             amp = ((T_d + 2 * h_d) / T_d) * ((T_h + 2 * h_h) / T_h)
-            n_tiles = (D // T_d) * (H // T_h)
+            n_tiles = (D // T_d) * (Hp // T_h)
             key = (amp, n_tiles)
             if best is None or key < best[0]:
                 best = (key, (T_d, T_h))
@@ -135,9 +138,9 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
 
 def _eligible3d(plan):
     """Structural eligibility (everything except the tile search): GN
-    or LM, one 3-D f32 grid ispace, no graphs/SampledImage,
-    W % 128 == 0, H % 8 == 0, and the whole volume (engine HBM state +
-    the whole-grid XLA outer step) under the HBM gate."""
+    or LM, one 3-D f32 grid ispace, no graphs/SampledImage, and the
+    whole PADDED volume (engine HBM state + the whole-grid XLA outer
+    step) under the HBM gate.  H/W need no alignment (padded)."""
     if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
@@ -152,9 +155,11 @@ def _eligible3d(plan):
             return False
     if _has_sampled(plan.spec):
         return False
+    # no alignment requirement: H pads to the next sublane multiple and
+    # W to the next lane multiple (zero-padded, residuals masked by
+    # real_domain_mask like the VMEM engine's lane padding)
     D, H, W = next(iter(plan.spec.images.values())).ispace.shape
-    if W % LANE or H % SUBLANE:
-        return False
+    Hp, Wp = _roundup(H, SUBLANE), _roundup(W, LANE)
     funcs = plan.funcs
     nU = sum(s[-1] for s in funcs.unknown_shapes.values())
     nC = sum(
@@ -163,7 +168,7 @@ def _eligible3d(plan):
     )
     nIn = 2 * nU + nC + (nU if plan.config.uses_lambda else 0)
     f32_per_voxel = nIn + 8 * nU + OUTER_F32_PER_UNKNOWN_CHANNEL * nU
-    return D * H * W * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
+    return D * Hp * Wp * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
 
 
 def supports3d(plan, max_tile_d=None, max_tile_h=None):
@@ -180,8 +185,8 @@ class StreamSolver3D:
         if not _eligible3d(plan):
             raise ValueError(
                 "plan not eligible for the 3-D streamed engine (needs "
-                "GN, one 3-D f32 grid ispace, no graphs/SampledImage, "
-                "W % 128 == 0, H % 8 == 0, volume under the HBM gate)"
+                "GN or LM, one 3-D f32 grid ispace, no graphs/"
+                "SampledImage, volume under the HBM gate)"
             )
         pick = _tile_search3d(plan, tile_d, tile_h)
         if pick is None:
@@ -193,20 +198,26 @@ class StreamSolver3D:
         funcs = plan.funcs
         D, H, W = next(iter(plan.spec.images.values())).ispace.shape
         self.D, self.H, self.W = D, H, W
+        # hardware-aligned padded extents: H pads to sublanes, W to
+        # lanes; pads are zero-filled and residuals on them masked by
+        # real_domain_mask (real_shapes below keeps TRUE global sizes)
+        self.Hp = _roundup(H, SUBLANE)
+        self.Wp = _roundup(W, LANE)
         self.tile_d, self.tile_h = pick
         self.h_d = max(2 * _stencil_radius_axis(plan.spec, 0), 1)
         self.h_h = _roundup(
             max(2 * _stencil_radius_axis(plan.spec, 1), 1), SUBLANE
         )
         self.n_td = D // self.tile_d
-        self.n_th = H // self.tile_h
+        self.n_th = self.Hp // self.tile_h
         self.n_tiles = self.n_td * self.n_th
 
-        # tile-window ProblemFunctions: window dims (WIN_d, WIN_h, W)
+        # tile-window ProblemFunctions: window dims (WIN_d, WIN_h, Wp)
         # with GLOBAL real shapes so bounds/Index use global coords
         WIN_d = self.tile_d + 2 * self.h_d
         WIN_h = self.tile_h + 2 * self.h_h
         dims_ext = list(plan.dims)        # [W, H, D] declared order
+        dims_ext[0] = self.Wp
         dims_ext[-1] = WIN_d
         dims_ext[-2] = WIN_h
         spec_t = ProblemSpec()
@@ -250,7 +261,7 @@ class StreamSolver3D:
         runs as three extra passes with a slot-parity flip."""
         T_d, T_h = self.tile_d, self.tile_h
         h_d, h_h = self.h_d, self.h_h
-        D, H, W = self.D, self.H, self.W
+        D, H, W = self.D, self.Hp, self.Wp   # kernel works on PADDED extents
         un, cn, pn = self.unknown_names, self.const_names, self.param_names
         chans = self.chans
         tf = self.tfuncs
@@ -672,9 +683,15 @@ class StreamSolver3D:
         pn = self.param_names
         nU = sum(chans[n] for n in un)
         D, H, W = self.D, self.H, self.W
+        Hp, Wp = self.Hp, self.Wp
 
         def pad_plane(a):
-            return jnp.pad(a, ((h_d, h_d), (h_h, h_h), (0, 0)))
+            # window halo on (D, H) plus hardware alignment pads
+            return jnp.pad(a, ((h_d, h_d), (h_h, h_h + Hp - H),
+                               (0, Wp - W)))
+
+        def pad_hw(a):
+            return jnp.pad(a, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
         def planes(arr):
             return [arr[..., c] for c in range(arr.shape[-1])]
@@ -693,9 +710,10 @@ class StreamSolver3D:
                 for n in un:
                     stack += [pad_plane(p) for p in planes(scs[n])]
             ins = jnp.stack(stack)
-            b = jnp.stack([p for n in un for p in planes(b_hat[n])])
+            b = jnp.stack(
+                [pad_hw(p) for n in un for p in planes(b_hat[n])])
             w0 = jnp.zeros(
-                (2 * nU, D + 2 * h_d, H + 2 * h_h, W), jnp.float32)
+                (2 * nU, D + 2 * h_d, Hp + 2 * h_h, Wp), jnp.float32)
             pvals = jnp.stack(
                 [jnp.asarray(data["params"][n], jnp.float32)
                  for n in pn]
@@ -717,7 +735,8 @@ class StreamSolver3D:
             for n in un:
                 c = chans[n]
                 out[n] = jnp.stack(
-                    [st[3 * nU + k + j] for j in range(c)], axis=-1)
+                    [st[3 * nU + k + j][:, :H, :W] for j in range(c)],
+                    axis=-1)
                 k += c
             return out
 

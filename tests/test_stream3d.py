@@ -89,9 +89,9 @@ def test_supports3d_gates():
     # LM runs on the pipelined loop too
     plan_lm = _plan([128, 16, 8], kind="LMGPU")
     assert supports3d(plan_lm)
-    # lane-misaligned W
-    plan_w = _plan([64, 16, 8])
-    assert not supports3d(plan_w)
+    # misaligned W/H are PADDED, not rejected
+    plan_w = _plan([96, 12, 8])
+    assert supports3d(plan_w)
     # 2-D plans are the other engine's job
     state = opt_tpu.NewState()
     plan2d = state.problem_plan(
@@ -99,6 +99,23 @@ def test_supports3d_gates():
         [128, 64],
     )
     assert not supports3d(plan2d)
+
+
+def test_stream3d_unaligned_padded():
+    """W pads 96->128 lanes, H pads 20->24 sublanes; residuals on the
+    pads are masked by real_domain_mask and padded unknowns stay frozen
+    (sq = 0 there).  Multi-tile: T_h=8 -> 3 H-tiles incl. a pad-spanning
+    one."""
+    W, H, D = 96, 20, 8
+    plan = _plan([W, H, D])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 12)
+    inputs = _vol_inputs(W, H, D)
+    ref = plan.solve(dict(inputs), engine="xla")
+    eng = StreamSolver3D(plan, tile_d=4, tile_h=8)
+    assert (eng.Hp, eng.Wp) == (24, 128) and eng.n_th == 3
+    out = eng.solve(dict(inputs), interpret=True)
+    np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
 
 
 def test_stream3d_lm_matches_xla():
