@@ -229,6 +229,45 @@ def cmd_volumetric(sides):
                   file=sys.stderr, flush=True)
 
 
+def cmd_volumetric_lm(sides):
+    """LM flavour of the volumetric sweep: fused XLA vs the 3-D
+    streamed engine's pipelined-LM loop (scs apply, in-sweep Q, zeta
+    exit, periodic exact residual replacement)."""
+    from opt_tpu.ops.stream3d import StreamSolver3D, supports3d
+
+    n_outer, n_lin = 8, 100
+    for side in sides:
+        inputs = volumetric_inputs(side)
+        plan = _plan("volumetric_mesh_deformation", [side, side, side],
+                     kind="LMGPU")
+        try:
+            ms, cost = time_xla(plan, inputs, n_outer, n_lin)
+            row("volumetric", f"{side}^3", "xla_lm", "LMGPU",
+                n_outer, n_lin, ms, cost)
+        except Exception as e:
+            print(f"# volumetric_lm@{side} xla failed: {e!r:.150}",
+                  file=sys.stderr, flush=True)
+        plan = _plan("volumetric_mesh_deformation", [side, side, side],
+                     kind="LMGPU")
+        plan.set_solver_parameter("nIterations", n_outer)
+        plan.set_solver_parameter("lIterations", n_lin)
+        if not supports3d(plan):
+            print(f"# volumetric_lm@{side}: stream3d ineligible",
+                  file=sys.stderr, flush=True)
+            continue
+        try:
+            td = int(os.environ.get("OPT_TPU_SWEEP_TILE_D", "0")) or None
+            th = int(os.environ.get("OPT_TPU_SWEEP_TILE_H", "0")) or None
+            eng = StreamSolver3D(plan, tile_d=td, tile_h=th)
+            ms, cost = time_engine(eng, inputs)
+            row("volumetric", f"{side}^3",
+                f"stream3d_t{eng.tile_d}x{eng.tile_h}_pipelined_lm",
+                "LMGPU", n_outer, n_lin, ms, cost)
+        except Exception as e:
+            print(f"# volumetric_lm@{side} stream3d failed: {e!r:.150}",
+                  file=sys.stderr, flush=True)
+
+
 def cmd_materialized(sizes):
     n_outer, n_lin = 8, 100
     for size in sizes:
@@ -342,7 +381,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("cmd", choices=["large_grid", "large_grid_lm",
                                    "materialized", "graph_mat",
-                                   "graph_boundary", "volumetric"])
+                                   "graph_boundary", "volumetric",
+                                   "volumetric_lm"])
     p.add_argument("args", nargs="*", type=int)
     p.add_argument("--modes", default="xla,pipelined")
     a = p.parse_args()
@@ -356,6 +396,8 @@ def main():
                           set(a.modes.split(",")))
     elif a.cmd == "volumetric":
         cmd_volumetric(a.args or [64, 128, 192])
+    elif a.cmd == "volumetric_lm":
+        cmd_volumetric_lm(a.args or [128])
     elif a.cmd == "materialized":
         cmd_materialized(a.args or [1024, 2048, 4096])
     elif a.cmd == "graph_mat":

@@ -77,6 +77,15 @@ HBM_BYTES = int(
 )
 OUTER_F32_PER_UNKNOWN_CHANNEL = 12
 
+# auto-engine crossover (docs/sweep_tpu_r3.csv, v5e 8x100): the engine
+# beats fused XLA at every measured volume -- 64^3 396.1 vs 472.2 ms
+# (1.19x) and 128^3 1477.6 vs 3950.3 ms (2.67x).  Below 64^3 is
+# unmeasured (and small volumes are where XLA's VMEM-resident carries
+# and the fixed relay dispatch favour the fused program, cf. the 2-D
+# crossover), so auto routes GN volumes >= 64^3 voxels here and leaves
+# smaller ones on XLA.
+AUTO_STREAM3D_MIN_VOXELS = 64 ** 3
+
 
 def _n_res_channels(funcs):
     return sum(

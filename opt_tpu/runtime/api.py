@@ -695,6 +695,18 @@ class Plan:
         if self.spec.graphs or not self.spec.images:
             return "xla"
         shape = next(iter(self.spec.images.values())).ispace.shape
+        if len(shape) == 3:
+            # volumetric grids: the two-axis-tiled 3-D streamed engine
+            # measured faster than fused XLA at every volume tried
+            # (64^3 1.19x, 128^3 2.67x -- docs/sweep_tpu_r3.csv); GN
+            # only until an LM measurement exists.
+            from ..ops import stream3d
+
+            if (not self.config.uses_lambda
+                    and np.prod(shape) >= stream3d.AUTO_STREAM3D_MIN_VOXELS
+                    and stream3d.supports3d(self)):
+                return "stream3d"
+            return "xla"
         if len(shape) != 2:
             return "xla"
         from ..ops import stream_solver
@@ -719,10 +731,11 @@ class Plan:
         fully-streamed tiled PCG engine for larger-than-VMEM grids
         (opt_tpu/ops/stream_solver.StreamSolverHBM); engine="stream3d"
         its two-axis-tiled 3-D counterpart for volumetric grids
-        (opt_tpu/ops/stream3d.StreamSolver3D, GN only).  All fall back
-        to "xla" when unsupported.  The default "auto" picks stream_hbm
-        for eligible grids >= ~2048^2 pixels (where it measured
-        1.15-1.4x over the XLA path on v5e) and "xla" otherwise."""
+        (opt_tpu/ops/stream3d.StreamSolver3D, GN and LM).  All fall
+        back to "xla" when unsupported.  The default "auto" picks
+        stream_hbm for eligible 2-D grids (GN >= 2048^2, LM >= 512^2)
+        and stream3d for GN volumes >= 64^3, where each measured
+        1.2-2.7x over the XLA path on v5e (docs/sweep_tpu_r3.csv)."""
         engine = self._pick_engine(engine)
         if engine in ("vmem", "stream_hbm", "stream3d"):
             from ..ops import stream_solver, vmem_solver
