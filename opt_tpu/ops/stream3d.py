@@ -64,11 +64,12 @@ from .stream_solver import (
 
 # whole-volume HBM gate: the engine keeps ins + w A/B + the 5-vector
 # state + b in HBM (nIn + 8*nU channel fields) and solve()'s OUTER step
-# (cost/JtF/diag) runs whole-grid on XLA -- there is no 3-D chunked
-# outer yet, so its temporaries are modeled as ~12 extra f32 per
-# unknown channel per voxel.  256^3 (6 ch) fits v5e comfortably
-# (~9 GB); 384^3 (~31 GB) is rejected at eligibility instead of dying
-# in XLA allocation mid-solve.  OPT_TPU_HBM_GB overrides for other
+# (cost/JtF/diag) runs whole-grid on XLA through 128^3 -- its
+# temporaries are modeled as ~12 extra f32 per unknown channel per
+# voxel, but the MEASURED whole-volume limit is far tighter (192^3
+# OOMed v5e with 78.5% allocator fragmentation), so past 128^3 the
+# D-slab strip-mined outer (ops/stream_outer.py) engages and only the
+# engine's HBM state counts.  OPT_TPU_HBM_GB overrides for other
 # parts.
 import os as _os
 
@@ -176,7 +177,20 @@ def _eligible3d(plan):
         if not im.is_unknown and n not in funcs.aliases
     )
     nIn = 2 * nU + nC + (nU if plan.config.uses_lambda else 0)
-    f32_per_voxel = nIn + 8 * nU + OUTER_F32_PER_UNKNOWN_CHANNEL * nU
+    f32_per_voxel = nIn + 8 * nU
+    from .stream_outer import chunked_outer_enabled
+
+    if not chunked_outer_enabled(plan):
+        # whole-volume XLA outer step: model its evaluator temporaries;
+        # past 128^3 the D-slab strip-mined outer (ops/stream_outer.py)
+        # engages instead and only the engine's HBM state counts.
+        # MEASURED (v5e, round 3): the whole-volume outer OOMs HBM at
+        # 192^3 already -- XLA wants 19.21 GB of which 15.09 GB is
+        # allocator FRAGMENTATION (unpadded temps only 3.09 GB; three
+        # 756 MB copies of the stacked (21, D, H, W) residual field
+        # dominate) -- so the auto threshold sits at the largest
+        # measured-working size, not at this model's prediction
+        f32_per_voxel += OUTER_F32_PER_UNKNOWN_CHANNEL * nU
     return D * Hp * Wp * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
 
 
@@ -756,8 +770,10 @@ class StreamSolver3D:
     def solve(self, inputs, interpret=None):
         """Full solve (GN or LM) through solver/core with the streamed
         3-D inner loop; the outer step (cost/JtF/diag/trust region)
-        runs whole-grid on XLA (fits HBM through 256^3 -- no 3-D
-        chunked-outer yet)."""
+        runs whole-grid on XLA through 128^3 and strip-mines over
+        D-slabs past that (ops/stream_outer.py -- the whole-volume
+        evaluation measured OOM at 192^3 on v5e, 78.5% fragmentation;
+        same trap as 8192^2)."""
         from ..solver.core import SolverConfig, make_solver
 
         plan = self.plan
@@ -773,7 +789,11 @@ class StreamSolver3D:
                 pcg_variant="classic",
                 pcg_backend=self.as_pcg_backend(interpret),
             )
-            fns = make_solver(plan.funcs, cfg)
+            from .stream_outer import ChunkedOuterFuncs, chunked_outer_enabled
+
+            funcs = (ChunkedOuterFuncs(plan)
+                     if chunked_outer_enabled(plan) else plan.funcs)
+            fns = make_solver(funcs, cfg)
             self._kern_cache[key] = jax.jit(fns[4])
         full = self._kern_cache[key]
         x, data = plan.bind(inputs)

@@ -8,8 +8,9 @@ evaluator temporaries exceed HBM (measured on v5e: 33.4 GB needed vs
 15.75 GB -- dozens of whole-grid per-term planes plus remat copies), so
 the engine could not reach the sizes its inner loop supports.
 
-This module evaluates the same quantities in ROW STRIPS with a stencil
-halo, exactly like the kernel streams the inner loop (and like the
+This module evaluates the same quantities in STRIPS along array axis 0
+(rows of a 2-D grid; D-slabs of a 3-D volume) with a stencil halo,
+exactly like the kernel streams the inner loop (and like the
 reference's per-kernel launches bound their working set,
 solverGPUGaussNewton.t PCGInit1/computeCost):
 
@@ -53,16 +54,27 @@ from ..dsl.spec import ProblemSpec
 # 4096^2 through the strips.  OPT_TPU_STREAM_CHUNKED_OUTER=1/0 forces.
 AUTO_CHUNKED_OUTER_MIN_PIXELS = 4096 * 4096 + 1
 
-# Strip height target: bounds per-strip evaluator temporaries to
-# ~(256/H) of the whole-grid peak while keeping strips wide enough that
-# the per-strip dispatch is negligible against the streamed PCG loop.
-STRIP_TARGET_ROWS = 256
+# 3-D: MEASURED on v5e (round 3) -- the whole-volume outer step OOMs
+# HBM at 192^3 (19.21 GB wanted vs 15.75; 78.5% allocator
+# fragmentation around three whole-volume copies of the stacked
+# (n_terms, D, H, W) residual field), while 128^3 runs whole-grid
+# fine.  Volumes strictly larger than 128^3 strip-mine over D-slabs.
+AUTO_CHUNKED_OUTER_MIN_VOXELS = 128 * 128 * 128 + 1
+
+# Strip size target in ELEMENTS per strip (not rows): bounds per-strip
+# evaluator temporaries to a fixed budget regardless of rank -- a 2-D
+# 8192-wide grid gets 256-row strips (the measured 8192^2 config), a
+# 320^3 volume gets 20-plane D-slabs (each slab row is a whole (H, W)
+# plane).  Strips stay wide enough that per-strip dispatch is
+# negligible against the streamed PCG loop.
+STRIP_TARGET_ELEMS = 256 * 8192
 
 
 def supports_chunked_outer(plan):
-    """Gate: pure 2-D single-index-space grid energies without graphs,
-    ComputedArrays, or SampledImages (the only spec features whose
-    evaluation is not row-local in the simple windowed sense)."""
+    """Gate: pure 2-D/3-D single-index-space grid energies without
+    graphs, ComputedArrays, or SampledImages (the only spec features
+    whose evaluation is not axis-0-local in the simple windowed
+    sense)."""
     spec = plan.spec
     if spec.graphs or spec.computed:
         return False
@@ -70,7 +82,7 @@ def supports_chunked_outer(plan):
     if len(keys) != 1:
         return False
     shape = next(iter(spec.images.values())).ispace.shape
-    if len(shape) != 2:
+    if len(shape) not in (2, 3):
         return False
     found = [False]
 
@@ -92,24 +104,28 @@ def chunked_outer_enabled(plan):
     if env == "1":
         return True
     shape = next(iter(plan.spec.images.values())).ispace.shape
+    if len(shape) == 3:
+        return (shape[0] * shape[1] * shape[2]
+                >= AUTO_CHUNKED_OUTER_MIN_VOXELS)
     return shape[0] * shape[1] >= AUTO_CHUNKED_OUTER_MIN_PIXELS
 
 
-def _pick_strip(H, radius):
-    """Largest divisor of H <= STRIP_TARGET_ROWS (and >= 1); strips must
+def _pick_strip(H, radius, target_rows):
+    """Largest divisor of H <= target_rows (and >= 1); strips must
     also cover the stencil reach so adjoints stay in-window."""
     best = 1
-    for s in range(1, min(H, STRIP_TARGET_ROWS) + 1):
+    for s in range(1, min(H, max(target_rows, 1)) + 1):
         if H % s == 0:
             best = s
     return max(best, radius, 1)
 
 
 class ChunkedOuterFuncs:
-    """ProblemFunctions facade evaluating outer-step quantities in row
-    strips (see module docstring).  Only valid together with a
-    SolverConfig.pcg_backend (linearize returns a token, not closures)
-    and config.use_materialized_jacobian=False."""
+    """ProblemFunctions facade evaluating outer-step quantities in
+    axis-0 strips (2-D rows / 3-D D-slabs; see module docstring).
+    Only valid together with a SolverConfig.pcg_backend (linearize
+    returns a token, not closures) and
+    config.use_materialized_jacobian=False."""
 
     def __init__(self, plan, strip=None):
         base = plan.funcs
@@ -120,12 +136,17 @@ class ChunkedOuterFuncs:
         self.unknown_shapes = base.unknown_shapes
         self.aliases = base.aliases
         shape = next(iter(plan.spec.images.values())).ispace.shape
-        self.H, self.W = shape
+        self.H = shape[0]          # strip axis extent (rows / D-slabs)
+        self.rest = tuple(shape[1:])
 
-        from .stream_solver import _stencil_radius_axis0
+        from .stream_solver import _stencil_radius_axis
 
-        self.r = _stencil_radius_axis0(plan.spec)
-        S = strip or _pick_strip(self.H, self.r)
+        self.r = _stencil_radius_axis(plan.spec, 0)
+        rest_elems = 1
+        for e in self.rest:
+            rest_elems *= e
+        S = strip or _pick_strip(
+            self.H, self.r, STRIP_TARGET_ELEMS // rest_elems)
         assert self.H % S == 0 and S >= max(self.r, 1), (S, self.H, self.r)
         self.S = S
         self.n_strips = self.H // S
@@ -171,9 +192,9 @@ class ChunkedOuterFuncs:
 
     def _pad_planes(self, arr):
         r = self.r
+        pad = ((r, r),) + ((0, 0),) * (arr.ndim - 2)
         return [
-            jnp.pad(arr[..., c], ((r, r), (0, 0)))
-            for c in range(arr.shape[-1])
+            jnp.pad(arr[..., c], pad) for c in range(arr.shape[-1])
         ]
 
     def _padded(self, x, data):
@@ -199,7 +220,7 @@ class ChunkedOuterFuncs:
             "graph_indices": {},
         }
         # global coordinate of the window's local row 0
-        self.wfuncs.coord_offsets = (g0 - self.r, 0)
+        self.wfuncs.coord_offsets = (g0 - self.r,) + (0,) * len(self.rest)
         return xw, dw
 
     def _acc_add(self, plane, g0, upd):
@@ -213,8 +234,10 @@ class ChunkedOuterFuncs:
         )
 
     def _center_zero(self, f):
-        """Zero non-center rows of a (C, rows, W) stacked field."""
-        return jnp.where(self._center[None, :, None], f, 0.0)
+        """Zero non-center strip rows of a (C, rows, *rest) stacked
+        field (axis 1 is the strip axis)."""
+        m = self._center.reshape((1, -1) + (1,) * (f.ndim - 2))
+        return jnp.where(m, f, 0.0)
 
     def _foreach_strip(self, body, carry):
         def step(s, c):
@@ -254,7 +277,7 @@ class ChunkedOuterFuncs:
         r = self.r
         acc = {
             n: [
-                jnp.zeros((self.H + 2 * r, self.W), self.dtype)
+                jnp.zeros((self.H + 2 * r,) + self.rest, self.dtype)
                 for _ in range(s[-1])
             ]
             for n, s in self.unknown_shapes.items()
@@ -299,7 +322,8 @@ class ChunkedOuterFuncs:
             xw, dw = self._windows(xp, dp, data, g0)
             rows = self.S + 2 * r
             upd = {
-                n: [jnp.zeros((rows, self.W), self.dtype) for _ in chans]
+                n: [jnp.zeros((rows,) + self.rest, self.dtype)
+                    for _ in chans]
                 for n, chans in acc.items()
             }
             for g, leaves, D in wf.leaf_partials(xw, dw):
@@ -308,7 +332,8 @@ class ChunkedOuterFuncs:
                         "chunked outer covers grid leaves only"
                     )
                     d2 = jnp.sum(d * d, axis=0)
-                    d2 = jnp.where(self._center[:, None], d2, 0.0)
+                    m = self._center.reshape((-1,) + (1,) * (d2.ndim - 1))
+                    d2 = jnp.where(m, d2, 0.0)
                     contrib = wf._scatter(d2, a.index.data)
                     upd[a.image.name][a.channel] = (
                         upd[a.image.name][a.channel] + contrib

@@ -103,3 +103,94 @@ def test_chunked_outer_solve_matches_xla(kind, monkeypatch):
             np.asarray(out["x"][n]), np.asarray(x_ref[n]),
             rtol=1e-3, atol=1e-4,
         )
+
+
+# -- 3-D volumetric (D-slab strips) ------------------------------------------
+
+from test_stream3d import _vol_inputs, _plan as _plan3d  # noqa: E402
+
+
+def test_chunked_outer_3d_matches_funcs():
+    """3-D strips over D-slabs: cost / JtF / diag / model-cost parity
+    against the whole-volume ProblemFunctions."""
+    W, H, D = 16, 24, 12
+    inputs = _vol_inputs(W, H, D)
+    rng = np.random.RandomState(4)
+    plan = _plan3d([W, H, D])
+    x, data = plan.bind(inputs)
+    x = {n: v + 0.05 * rng.randn(*v.shape).astype(np.float32)
+         for n, v in x.items()}
+    assert supports_chunked_outer(plan)
+    cf = ChunkedOuterFuncs(plan, strip=4)
+    bf = plan.funcs
+
+    # per-element contract first: every window's center rows reproduce
+    # the whole-volume residual field EXACTLY (debugged: they do; the
+    # scalar costs then differ only by f32 reduction order)
+    whole_f = np.asarray(jax.tree_util.tree_leaves(
+        bf.residual_fields(x, data, masked=True))[0])
+    xp, dp = cf._padded(x, data)
+    for s in range(cf.n_strips):
+        g0 = s * cf.S
+        xw, dw = cf._windows(xp, dp, data, g0)
+        fw = np.asarray(jax.tree_util.tree_leaves(
+            cf.wfuncs.residual_fields(xw, dw, masked=True))[0])
+        np.testing.assert_array_equal(
+            fw[:, cf.r:cf.r + cf.S], whole_f[:, g0:g0 + cf.S])
+
+    # scalar cost: 96k-element f32 reductions in different orders spread
+    # ~5e-5 rel around the f64-exact value (the whole-grid XLA reduce is
+    # the furthest off); both paths must sit within that band
+    exact = 0.5 * float(np.sum(whole_f.astype(np.float64) ** 2))
+    assert float(cf.cost(x, data)) == pytest.approx(exact, rel=2e-4)
+    assert float(bf.cost(x, data)) == pytest.approx(exact, rel=2e-4)
+
+    r0, jvp, jt = bf.linearize(x, data)
+    tok, jvp_c, jt_c = cf.linearize(x, data)
+    _tree_close(bf.jtf(r0, jt), cf.jtf(tok, jt_c))
+    _tree_close(bf.diag_jtj(x, data), cf.diag_jtj(x, data))
+
+    delta = {n: jnp.asarray(
+        0.01 * rng.randn(*v.shape).astype(np.float32))
+        for n, v in x.items()}
+    # same f32 reduction-order spread as cost (global scalar reduce)
+    assert float(cf.model_cost(tok, None, delta, x, data)) == (
+        pytest.approx(float(bf.model_cost(r0, jvp, delta, x, data)),
+                      rel=2e-4))
+
+
+def test_chunked_outer_3d_gate():
+    """Volumes auto-enable past 128^3 (192^3 measured OOM whole-grid
+    on v5e); small volumes support the strips but stay whole-grid."""
+    small = _plan3d([16, 16, 16])
+    assert supports_chunked_outer(small)
+    assert not chunked_outer_enabled(small)
+    at_edge = _plan3d([128, 128, 128])
+    assert not chunked_outer_enabled(at_edge)  # measured working
+    mid = _plan3d([192, 192, 192])
+    assert chunked_outer_enabled(mid)          # measured OOM whole-grid
+    big = _plan3d([320, 320, 320])
+    assert chunked_outer_enabled(big)
+    from opt_tpu.ops.stream3d import supports3d
+
+    assert supports3d(mid)
+    # 320^3 only fits the HBM gate BECAUSE the chunked outer engages
+    assert supports3d(big)
+
+
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_chunked_outer_3d_solve_matches_xla(kind, monkeypatch):
+    """End-to-end 3-D streamed solve with the D-slab strip-mined outer
+    forced on (interpret mode)."""
+    monkeypatch.setenv("OPT_TPU_STREAM_CHUNKED_OUTER", "1")
+    from opt_tpu.ops.stream3d import StreamSolver3D
+
+    W, H, D = 16, 16, 8
+    inputs = _vol_inputs(W, H, D)
+    plan = _plan3d([W, H, D], kind)
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 12)
+    ref_cost = plan.solve(dict(inputs), engine="xla")
+    solver = StreamSolver3D(plan)
+    out = solver.solve(dict(inputs))
+    assert out["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
