@@ -79,12 +79,13 @@ HBM_BYTES = int(
 OUTER_F32_PER_UNKNOWN_CHANNEL = 12
 
 # auto-engine crossover (docs/sweep_tpu_r3.csv, v5e 8x100): the engine
-# beats fused XLA at every measured volume -- 64^3 396.1 vs 472.2 ms
-# (1.19x) and 128^3 1477.6 vs 3950.3 ms (2.67x).  Below 64^3 is
-# unmeasured (and small volumes are where XLA's VMEM-resident carries
-# and the fixed relay dispatch favour the fused program, cf. the 2-D
-# crossover), so auto routes GN volumes >= 64^3 voxels here and leaves
-# smaller ones on XLA.
+# beats fused XLA at every measured volume -- GN 64^3 396.1 vs
+# 472.2 ms (1.19x), 128^3 1477.6 vs 3950.3 ms (2.67x); LM 64^3 478.3
+# vs 571.8 ms (1.20x), 128^3 1842.7 vs 4754.1 ms (2.58x).  Below 64^3
+# is unmeasured (and small volumes are where XLA's VMEM-resident
+# carries and the fixed relay dispatch favour the fused program, cf.
+# the 2-D crossover), so auto routes GN and LM volumes >= 64^3 voxels
+# here and leaves smaller ones on XLA.
 AUTO_STREAM3D_MIN_VOXELS = 64 ** 3
 
 

@@ -697,13 +697,14 @@ class Plan:
         shape = next(iter(self.spec.images.values())).ispace.shape
         if len(shape) == 3:
             # volumetric grids: the two-axis-tiled 3-D streamed engine
-            # measured faster than fused XLA at every volume tried
-            # (64^3 1.19x, 128^3 2.67x -- docs/sweep_tpu_r3.csv); GN
-            # only until an LM measurement exists.
+            # measured faster than fused XLA at every volume tried --
+            # GN 64^3 1.19x / 128^3 2.67x, LM 64^3 1.20x / 128^3 2.58x
+            # (docs/sweep_tpu_r3.csv); past 128^3 it is the ONLY path
+            # (the fused XLA program OOMs HBM at compile, 19.2 GB at
+            # 192^3).
             from ..ops import stream3d
 
-            if (not self.config.uses_lambda
-                    and np.prod(shape) >= stream3d.AUTO_STREAM3D_MIN_VOXELS
+            if (np.prod(shape) >= stream3d.AUTO_STREAM3D_MIN_VOXELS
                     and stream3d.supports3d(self)):
                 return "stream3d"
             return "xla"
@@ -734,8 +735,9 @@ class Plan:
         (opt_tpu/ops/stream3d.StreamSolver3D, GN and LM).  All fall
         back to "xla" when unsupported.  The default "auto" picks
         stream_hbm for eligible 2-D grids (GN >= 2048^2, LM >= 512^2)
-        and stream3d for GN volumes >= 64^3, where each measured
-        1.2-2.7x over the XLA path on v5e (docs/sweep_tpu_r3.csv)."""
+        and stream3d for volumes >= 64^3 (GN and LM), where each
+        measured 1.2-2.7x over the XLA path on v5e
+        (docs/sweep_tpu_r3.csv)."""
         engine = self._pick_engine(engine)
         if engine in ("vmem", "stream_hbm", "stream3d"):
             from ..ops import stream_solver, vmem_solver

@@ -170,13 +170,15 @@ def test_stream3d_updates_unknowns(vol_case):
 
 
 def test_auto_engine_volumetric():
-    """engine='auto' routes GN volumes >= 64^3 voxels to the 3-D
-    streamed engine (measured 1.19x at 64^3 and 2.67x at 128^3 over
-    fused XLA on v5e, docs/sweep_tpu_r3.csv); small volumes and LM
-    (unmeasured in 3-D) stay on XLA."""
+    """engine='auto' routes GN AND LM volumes >= 64^3 voxels to the
+    3-D streamed engine (measured over fused XLA on v5e: GN 1.19x at
+    64^3 / 2.67x at 128^3, LM 1.20x / 2.58x -- docs/sweep_tpu_r3.csv);
+    small volumes stay on XLA."""
     big = _plan([64, 64, 64])
     assert big._pick_engine("auto") == "stream3d"
     small = _plan([32, 32, 32])
     assert small._pick_engine("auto") == "xla"
     lm = _plan([64, 64, 64], kind="LMGPU")
-    assert lm._pick_engine("auto") == "xla"
+    assert lm._pick_engine("auto") == "stream3d"
+    lm_small = _plan([32, 32, 32], kind="LMGPU")
+    assert lm_small._pick_engine("auto") == "xla"
