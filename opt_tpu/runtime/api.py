@@ -71,9 +71,26 @@ class OptState:
         jacobi_scaling="ONCE_PER_SOLVE",
         graph_mode=None,
         plane_mode=None,
+        compilation_cache_dir=None,
     ):
         if double_precision:
             jax.config.update("jax_enable_x64", True)
+        if compilation_cache_dir is None:
+            import os
+
+            compilation_cache_dir = os.environ.get("OPT_TPU_CACHE_DIR")
+        if compilation_cache_dir:
+            # persistent XLA compilation cache: warm restarts skip the
+            # 20-40 s first-compile of each shape-specialized plan (the
+            # reference amortizes compiles by caching Terra-compiled
+            # plans in-process only, o.t makePlan; this survives the
+            # process).  Min-compile-time 0 so even small plans cache.
+            jax.config.update("jax_compilation_cache_dir",
+                              str(compilation_cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
         self.backend = backend
         self.numthreads = numthreads
         self.double_precision = double_precision
@@ -82,6 +99,7 @@ class OptState:
         self.use_materialized_jacobian = use_materialized_jacobian
         self.use_fused_jtj = use_fused_jtj
         self.use_pallas = use_pallas
+        self.compilation_cache_dir = compilation_cache_dir
         if pcg_variant not in ("classic", "pipelined"):
             raise ValueError(
                 f"pcg_variant must be 'classic' or 'pipelined', "

@@ -244,3 +244,26 @@ def test_plane_mode_matches_array_mode():
         for n in res[False][1]:
             np.testing.assert_allclose(
                 res[True][1][n], res[False][1][n], rtol=2e-3, atol=1e-4)
+
+
+def test_persistent_compilation_cache(tmp_path):
+    """OptState(compilation_cache_dir=...) populates a persistent XLA
+    cache so warm process restarts skip plan compiles (production
+    serving knob; the reference caches compiled plans in-process only,
+    o.t makePlan)."""
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    rng = np.random.RandomState(3)
+    state = opt_tpu.NewState(compilation_cache_dir=str(cache))
+    path = tmp_path / "energy.py"
+    path.write_text(ENERGY_FILE_SRC)
+    plan = state.ProblemPlan(
+        state.ProblemDefine(str(path), "gaussNewtonGPU"), [6, 5]
+    )
+    plan.SetSolverParameter("nIterations", 1)
+    plan.SetSolverParameter("lIterations", 3)
+    plan.Init(_inputs(6, 5, rng))
+    while plan.Step():
+        pass
+    assert np.isfinite(plan.CurrentCost())
+    assert any(cache.iterdir()), "compilation cache dir stayed empty"
