@@ -121,6 +121,11 @@ def main():
     except Exception as e:
         print(f"# volumetric aux bench failed: {e!r:.120}",
               file=sys.stderr)
+    try:
+        aux_solve_many(sys.stderr)
+    except Exception as e:
+        print(f"# solve_many aux bench failed: {e!r:.120}",
+              file=sys.stderr)
 
 
 def tri_grid_graph(w, h):
@@ -418,5 +423,57 @@ def aux_sfs(err):
     )
 
 
+
+def aux_solve_many(err):
+    """Batched serving mode (Plan.solve_many): 64 independent 128^2
+    image_warping solves in ONE vmapped dispatch vs 64 sequential
+    dispatches -- tracks the measured 2.3x throughput win in the
+    dispatch-dominated small-grid regime (docs/sweep_tpu_r3.csv;
+    crossover: batching LOSES past ~512^2 where batched PCG carries
+    exceed VMEM residency)."""
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+
+    S, N, n_outer, n_lin = 128, 64, 8, 100
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [S, S])
+    plan.set_solver_parameter("nIterations", n_outer)
+    plan.set_solver_parameter("lIterations", n_lin)
+    batch = [warp_inputs(S, S, seed=s) for s in range(N)]
+
+    x, data = plan.bind(batch[0])
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
+    _ = float(plan._full_solve_fn(x, data, sp)["prev_cost"])  # warm solo
+    solo = []
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        for s in range(N):
+            xs, ds = plan.bind(batch[s])
+            xs["Offset"] = xs["Offset"] + np.float32(rep * 1e-6)
+            _ = float(plan._full_solve_fn(xs, ds, sp)["prev_cost"])
+        solo.append((time.perf_counter() - t0) * 1e3)
+
+    costs = plan.solve_many(batch)  # warm batched
+    bt = []
+    for rep in (1, 2):
+        b2 = [dict(b) for b in batch]
+        for b in b2:
+            b["Offset"] = b["Offset"] + np.float32(rep * 1e-6)
+        t0 = time.perf_counter()
+        plan.solve_many(b2)
+        bt.append((time.perf_counter() - t0) * 1e3)
+    s_ms, b_ms = min(solo), min(bt)
+    print(
+        f"# aux solve_many_128x64(8x100): batched={b_ms:.1f} ms "
+        f"({b_ms / N:.2f}/prob) solo_loop={s_ms:.1f} ms "
+        f"speedup={s_ms / b_ms:.2f}x cost0={costs[0]:.6g}", file=err,
+    )
+
 if __name__ == "__main__":
     main()
+
