@@ -1840,11 +1840,18 @@ class StreamSolverHBM(StreamSolver):
         """Full solve through solver/core with the streamed inner loop
         (GN and LM)."""
         from ..solver.core import SolverConfig, make_solver
+        from .stream_outer import chunked_outer_enabled
 
         plan = self.plan
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        key = ("backend", interpret)
+        # Past the chunked-outer threshold the solve is HBM-capacity
+        # bound (8192^2 LM: 20.8 GB un-donated peak vs 15.75 GB on v5e,
+        # measured via compile memory_analysis); donating x+data lets
+        # buffer assignment reuse their ~2 GB as temps and alias the x
+        # output.  TPU only (CPU ignores donation with a warning).
+        donate = (not interpret) and chunked_outer_enabled(plan)
+        key = ("backend", interpret, donate)
         if key not in self._kern_cache:
             base = plan.config
             cfg = SolverConfig(
@@ -1854,7 +1861,7 @@ class StreamSolverHBM(StreamSolver):
                 pcg_variant="classic",
                 pcg_backend=self.as_pcg_backend(interpret),
             )
-            from .stream_outer import ChunkedOuterFuncs, chunked_outer_enabled
+            from .stream_outer import ChunkedOuterFuncs
 
             # past ~4096^2 the whole-grid OUTER step (cost/JtF/diag)
             # itself exceeds HBM; evaluate it in row strips instead
@@ -1863,8 +1870,17 @@ class StreamSolverHBM(StreamSolver):
             funcs = (ChunkedOuterFuncs(plan)
                      if chunked_outer_enabled(plan) else plan.funcs)
             fns = make_solver(funcs, cfg)
-            self._kern_cache[key] = jax.jit(fns[4])
+            self._kern_cache[key] = jax.jit(
+                fns[4], donate_argnums=(0, 1) if donate else ())
         full = self._kern_cache[key]
+        if donate:
+            # bind() no-copies device-array inputs; donation would
+            # consume the caller's buffers, so break the aliasing first
+            inputs = {
+                k: (jnp.array(v, copy=True)
+                    if isinstance(v, jax.Array) else v)
+                for k, v in inputs.items()
+            }
         x, data = plan.bind(inputs)
         sp = plan._sp_device()
         sp["nIterations"] = jnp.asarray(

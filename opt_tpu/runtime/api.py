@@ -773,6 +773,13 @@ class Plan:
                 if stream3d.supports3d(self):
                     vs = stream3d.StreamSolver3D(self)
             if vs is not None:
+                # release the previous solve's device state BEFORE
+                # binding fresh inputs: at HBM-capacity-bound sizes
+                # (8192^2 LM) a held prior x + re-bound data (~2 GB)
+                # pushed the second solve over the allocator limit
+                # (measured RESOURCE_EXHAUSTED on v5e, round 3)
+                self._state = None
+                self._data = None
                 out = vs.solve(inputs)
                 _, self._data = self.bind(inputs)
                 self._state = {
