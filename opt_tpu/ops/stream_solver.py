@@ -1836,9 +1836,14 @@ class StreamSolverHBM(StreamSolver):
 
     # -- harness-compatible whole solve ------------------------------------
 
-    def solve(self, inputs, interpret=None):
+    def solve(self, inputs, interpret=None, donate_inputs=False):
         """Full solve through solver/core with the streamed inner loop
-        (GN and LM)."""
+        (GN and LM).
+
+        donate_inputs=True: the caller relinquishes any device arrays in
+        `inputs` -- they are donated (consumed) without the defensive
+        copy, saving their full footprint at HBM-capacity-bound sizes
+        (8192^2 LM does NOT fit while a second input copy is held)."""
         from ..solver.core import SolverConfig, make_solver
         from .stream_outer import chunked_outer_enabled
 
@@ -1873,7 +1878,7 @@ class StreamSolverHBM(StreamSolver):
             self._kern_cache[key] = jax.jit(
                 fns[4], donate_argnums=(0, 1) if donate else ())
         full = self._kern_cache[key]
-        if donate:
+        if donate and not donate_inputs:
             # bind() no-copies device-array inputs; donation would
             # consume the caller's buffers, so break the aliasing first
             inputs = {

@@ -322,6 +322,7 @@ class Plan:
         self.solver_params = dict(SOLVER_PARAMETER_DEFAULTS)
         self._state = None
         self._data = None
+        self._data_inputs = None
         self._cleaned = False
         self._banding_cache = {}
         self._active_banding = {}
@@ -633,6 +634,7 @@ class Plan:
         """Opt_ProblemInit: bind data, compute initial cost."""
         x, data = self.bind(inputs)
         self._data = data
+        self._data_inputs = None
         self._cleaned = False
         with self.timer.event("init"):
             if self.state.collect_kernel_timing:
@@ -680,6 +682,7 @@ class Plan:
         OptState for re-binding)."""
         self._state = None
         self._data = None
+        self._data_inputs = None
 
     def _cleanup(self):
         """Solver cleanup contract (solverGPUGaussNewton.t:1902-1910):
@@ -738,7 +741,8 @@ class Plan:
             return "stream_hbm"
         return "xla"
 
-    def solve(self, inputs, on_device=True, engine="auto"):
+    def solve(self, inputs, on_device=True, engine="auto",
+              donate_inputs=False):
         """Opt_ProblemSolve: full solve.  on_device=True runs the whole
         outer loop inside one XLA program (no per-iteration host sync --
         the reference cannot do this; solverGPUGaussNewton.t syncs every
@@ -780,8 +784,24 @@ class Plan:
                 # (measured RESOURCE_EXHAUSTED on v5e, round 3)
                 self._state = None
                 self._data = None
-                out = vs.solve(inputs)
-                _, self._data = self.bind(inputs)
+                if donate_inputs and isinstance(
+                        vs, stream_solver.StreamSolverHBM):
+                    # caller relinquishes device-array inputs: donated
+                    # without the defensive copy (saves their full
+                    # footprint -- 8192^2 LM does not fit otherwise).
+                    # current_cost()/load_state() then need init() with
+                    # fresh inputs (the donated ones are consumed).
+                    out = vs.solve(inputs, donate_inputs=True)
+                    self._data_inputs = None
+                else:
+                    out = vs.solve(inputs)
+                    # bind LAZILY for later current_cost()/load_state():
+                    # an eager re-bind here transferred the full input
+                    # set host->device a SECOND time per solve -- at
+                    # 8192^2 that is ~2 GB through the relay, which
+                    # dominated the measured LM outer intercept
+                    # (docs/ROUND3_TODO.md #12)
+                    self._data_inputs = inputs
                 self._state = {
                     "x": out["x"],
                     "prev_cost": jnp.asarray(out["final_cost"],
@@ -901,9 +921,18 @@ class Plan:
 
     # -- results ------------------------------------------------------------------
 
+    def _ensure_data(self):
+        """Bind the deferred engine-solve inputs on first use (see
+        Plan.solve's lazy `_data_inputs`)."""
+        if self._data is None and getattr(self, "_data_inputs",
+                                          None) is not None:
+            _, self._data = self.bind(self._data_inputs)
+            self._data_inputs = None
+        return self._data
+
     def current_cost(self):
         assert self._state is not None
-        return float(self._cost_fn(self._state, self._data))
+        return float(self._cost_fn(self._state, self._ensure_data()))
 
     CurrentCost = current_cost
 
@@ -947,7 +976,8 @@ class Plan:
         np.savez(path, **flat)
 
     def load_state(self, path):
-        assert self._data is not None, "bind data first (init or solve)"
+        assert self._ensure_data() is not None, (
+            "bind data first (init or solve)")
         loaded = np.load(path)
         dtype = self.funcs.dtype
         state = {"x": {}, "ssq": {}}

@@ -373,3 +373,28 @@ def test_auto_engine_lm_routes_stream():
         state.problem_define(energies.image_warping, "LMGPU"),
         [256, 256])
     assert small._pick_engine("auto") == "xla"
+
+
+def test_donate_inputs_plumbing():
+    """plan.solve(donate_inputs=True): on CPU (interpret mode) donation
+    is inert, but the kwarg must plumb through to StreamSolverHBM.solve
+    and produce the same cost as the default path.  (On TPU at
+    chunked-outer sizes it skips the defensive input copy so the
+    caller's relinquished device buffers are donated -- 8192^2 LM does
+    not fit HBM while a second input copy is held; measured round 3.)"""
+    W = H = 64
+    inputs = _warp_inputs(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [W, H])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 5)
+    c_ref = plan.solve(inputs, engine="stream_hbm")
+    c_don = plan.solve(inputs, engine="stream_hbm", donate_inputs=True)
+    np.testing.assert_allclose(c_don, c_ref, rtol=1e-6)
+    # device-array inputs survive on CPU (donation inert there)
+    dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in inputs.items()}
+    c_dev = plan.solve(dev, engine="stream_hbm", donate_inputs=True)
+    np.testing.assert_allclose(c_dev, c_ref, rtol=1e-6)
