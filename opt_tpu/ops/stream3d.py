@@ -768,19 +768,27 @@ class StreamSolver3D:
 
     # -- harness-compatible whole solve --------------------------------------
 
-    def solve(self, inputs, interpret=None):
+    def solve(self, inputs, interpret=None, donate_inputs=False):
         """Full solve (GN or LM) through solver/core with the streamed
         3-D inner loop; the outer step (cost/JtF/diag/trust region)
         runs whole-grid on XLA through 128^3 and strip-mines over
         D-slabs past that (ops/stream_outer.py -- the whole-volume
         evaluation measured OOM at 192^3 on v5e, 78.5% fragmentation;
-        same trap as 8192^2)."""
+        same trap as 8192^2).
+
+        At chunked-outer volumes x+data are DONATED into the jitted
+        solve (the 8192^2-LM capacity treatment, see
+        stream_solver.StreamSolverHBM.solve); donate_inputs=True skips
+        the defensive device-copy when the caller relinquishes their
+        device arrays."""
         from ..solver.core import SolverConfig, make_solver
+        from .stream_outer import chunked_outer_enabled
 
         plan = self.plan
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        key = ("backend", interpret)
+        donate = (not interpret) and chunked_outer_enabled(plan)
+        key = ("backend", interpret, donate)
         if key not in self._kern_cache:
             base = plan.config
             cfg = SolverConfig(
@@ -790,13 +798,20 @@ class StreamSolver3D:
                 pcg_variant="classic",
                 pcg_backend=self.as_pcg_backend(interpret),
             )
-            from .stream_outer import ChunkedOuterFuncs, chunked_outer_enabled
+            from .stream_outer import ChunkedOuterFuncs
 
             funcs = (ChunkedOuterFuncs(plan)
                      if chunked_outer_enabled(plan) else plan.funcs)
             fns = make_solver(funcs, cfg)
-            self._kern_cache[key] = jax.jit(fns[4])
+            self._kern_cache[key] = jax.jit(
+                fns[4], donate_argnums=(0, 1) if donate else ())
         full = self._kern_cache[key]
+        if donate and not donate_inputs:
+            inputs = {
+                k: (jnp.array(v, copy=True)
+                    if isinstance(v, jax.Array) else v)
+                for k, v in inputs.items()
+            }
         x, data = plan.bind(inputs)
         sp = plan._sp_device()
         sp["nIterations"] = jnp.asarray(

@@ -784,8 +784,8 @@ class Plan:
                 # (measured RESOURCE_EXHAUSTED on v5e, round 3)
                 self._state = None
                 self._data = None
-                if donate_inputs and isinstance(
-                        vs, stream_solver.StreamSolverHBM):
+                if donate_inputs and not isinstance(
+                        vs, vmem_solver.VmemSolver):
                     # caller relinquishes device-array inputs: donated
                     # without the defensive copy (saves their full
                     # footprint -- 8192^2 LM does not fit otherwise).
