@@ -391,6 +391,9 @@ def test_donate_inputs_plumbing():
     plan.set_solver_parameter("nIterations", 2)
     plan.set_solver_parameter("lIterations", 5)
     c_ref = plan.solve(inputs, engine="stream_hbm")
+    # current_cost() after an engine solve binds _data LAZILY (the
+    # eager re-bind cost a second full host->device transfer per solve)
+    np.testing.assert_allclose(plan.current_cost(), c_ref, rtol=1e-5)
     c_don = plan.solve(inputs, engine="stream_hbm", donate_inputs=True)
     np.testing.assert_allclose(c_don, c_ref, rtol=1e-6)
     # device-array inputs survive on CPU (donation inert there)
