@@ -683,6 +683,7 @@ class Plan:
         self._state = None
         self._data = None
         self._data_inputs = None
+        self._batched_state = None
 
     def _cleanup(self):
         """Solver cleanup contract (solverGPUGaussNewton.t:1902-1910):
