@@ -26,8 +26,15 @@ and the reference's boundary rows): the apply evaluates residuals over
 the whole extended slab and CROPS the center rows, so every surviving
 JtJp contribution only reads exchanged (valid) data; residuals whose
 support leaks past the extended slab contribute only to cropped rows.
-GN only -- LM's residual reset and Q sequence stay on the XLA sharded
-paths (parallel/halo.py, parallel/mesh.py).
+
+LM runs on the same per-shard apply: the hat-space CtC diagonal
+(scs = S^2*ctc, a purely local elementwise term) is added OUTSIDE the
+kernel, and the shard-level loop is the reference's classic PCG with
+the Q/zeta early exit and the periodic exact residual replacement
+(solverGPUGaussNewton.t:713-719, :738-813, :2211-2220), all scalars
+psum'd -- the same structure ops/stream_solver.py runs in-kernel
+single-chip.  The reference runs its full GN+LM matrix on every
+backend (examples/test_final_cost.py:84-95); so does this one.
 """
 
 from __future__ import annotations
@@ -51,9 +58,9 @@ from ..solver.core import tmap
 
 
 def supports(plan, mesh):
-    """Eligibility: GN, one 2-D f32 grid ispace, no SampledImage, lane-
-    aligned width, slab rows sublane-aligned and >= the halo."""
-    if plan.config.uses_lambda or plan.spec.graphs:
+    """Eligibility: GN or LM, one 2-D f32 grid ispace, no SampledImage,
+    lane-aligned width, slab rows sublane-aligned and >= the halo."""
+    if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
         return False
@@ -311,9 +318,22 @@ class ShardedStreamEngine:
                     out[n] = jnp.stack(
                         [ap[k + j] for j in range(c)], axis=-1)
                     k += c
+                if scs is not None:
+                    # hat-space LM diagonal: + S^2*ctc (x) p -- purely
+                    # local, so it stays outside the kernel
+                    out = tmap(
+                        lambda o, c_, pp: o + c_ * pp, out, scs, p)
                 return out
 
-            return _shard_pcg(variant, A, psum, b_hat, L)
+            lm = None
+            if scs is not None:
+                lm = {
+                    "period": jnp.asarray(
+                        sp["residual_reset_period"], jnp.int32),
+                    "q_tol": jnp.asarray(
+                        sp["q_tolerance"], jnp.float32),
+                }
+            return _shard_pcg(variant, A, psum, b_hat, L, lm)
 
         return backend
 
@@ -326,16 +346,27 @@ def _tdot(a, b):
     )
 
 
-def _shard_pcg(variant, A, psum, b_hat, L):
+def _shard_pcg(variant, A, psum, b_hat, L, lm=None):
     """The shard-level hat-space PCG loops shared by the 2-D and 3-D
     engines: variant='pipelined' (Ghysels & Vanroose with M=I -- both
     psums read only the previous iteration's vectors, so on real
     multi-chip hardware their latency overlaps the halo-exchanged
-    apply) or 'classic' (two barriers) for comparison."""
+    apply) or 'classic' (two barriers) for comparison.
+
+    lm (dict period/q_tol, or None) switches to the LM loop -- always
+    classic, like the single-chip engines: the Q/zeta early exit
+    (q = 0.5 delta.(r+b), zeta = (i+1)(Q1-Q0)/Q1 < q_tol,
+    solverGPUGaussNewton.t:713-719, :2211-2220) and the exact residual
+    replacement r = b - A delta every `period` iterations (:738-813),
+    with all dots psum'd so every device takes the same branch."""
 
     def sdiv(a, b):
         return jnp.where(
             b != 0.0, a / jnp.where(b != 0.0, b, 1.0), 0.0)
+
+    if lm is not None:
+        return _shard_pcg_lm(A, psum, b_hat, L, lm["period"],
+                             lm["q_tol"], sdiv)
 
     r0 = b_hat
     if variant == "pipelined":
@@ -408,12 +439,59 @@ def _shard_pcg(variant, A, psum, b_hat, L):
     return out["delta"]
 
 
+def _shard_pcg_lm(A, psum, b_hat, L, period, q_tol, sdiv):
+    """Classic hat-space PCG with LM's Q/zeta exit and periodic exact
+    residual replacement (the shard-level port of solver/core.pcg_loop's
+    uses_lambda branch; M = I because Jacobi scaling is folded into S).
+    A already includes the scs = S^2*ctc diagonal."""
+    r0 = b_hat
+    an0 = psum(_tdot(r0, r0))
+    carry0 = {
+        "delta": tmap(jnp.zeros_like, r0),
+        "r": r0, "p": r0, "an": an0,
+        "Q0": jnp.float32(0.0),
+        "i": jnp.asarray(0, jnp.int32),
+        "brk": jnp.asarray(False),
+    }
+
+    def body(c):
+        i = c["i"]
+        Ap = A(c["p"])
+        pap = psum(_tdot(c["p"], Ap))
+        alpha = sdiv(c["an"], pap)
+        delta = tmap(lambda pp, d: d + alpha * pp, c["p"], c["delta"])
+
+        def reset_branch(_):
+            # r = b - A delta exactly (solverGPUGaussNewton.t:2128-2139)
+            return tmap(jnp.subtract, b_hat, A(delta))
+
+        def normal_branch(_):
+            return tmap(lambda ap, rr: rr - alpha * ap, Ap, c["r"])
+
+        r = jax.lax.cond(
+            ((i + 1) % period) == 0, reset_branch, normal_branch, None)
+        bn = psum(_tdot(r, r))
+        beta = sdiv(bn, c["an"])
+        p = tmap(lambda rr, pp: rr + beta * pp, r, c["p"])
+
+        Q1 = 0.5 * psum(_tdot(delta, tmap(jnp.add, r, b_hat)))
+        zeta = (i + 1).astype(jnp.float32) * sdiv(Q1 - c["Q0"], Q1)
+        return {
+            "delta": delta, "r": r, "p": p, "an": bn,
+            "Q0": Q1, "i": i + 1, "brk": zeta < q_tol,
+        }
+
+    out = jax.lax.while_loop(
+        lambda c: (c["i"] < L) & (~c["brk"]), body, carry0)
+    return out["delta"]
+
+
 def supports3d(plan, mesh):
-    """3-D eligibility: GN, one 3-D f32 grid ispace, no SampledImage,
-    W lane-aligned, H sublane-aligned, D divisible into slabs >= the
-    exchange halo (D is the Mosaic-untiled axis, so the halo needs no
-    alignment -- unlike the 2-D engine's sublane rows)."""
-    if plan.config.uses_lambda or plan.spec.graphs:
+    """3-D eligibility: GN or LM, one 3-D f32 grid ispace, no
+    SampledImage, W lane-aligned, H sublane-aligned, D divisible into
+    slabs >= the exchange halo (D is the Mosaic-untiled axis, so the
+    halo needs no alignment -- unlike the 2-D engine's sublane rows)."""
+    if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
         return False
@@ -450,8 +528,8 @@ class ShardedStream3D:
     by ppermute before each apply, and the apply runs one Pallas kernel
     per device per iteration over the locally materialized
     (slab + 2*he) volume -- the 3-D counterpart of ShardedStreamEngine,
-    sharing its shard-level pipelined/classic PCG loops.  GN only (like
-    the 2-D engine); reference role: backend_cpu_mt.t:698-944."""
+    sharing its shard-level pipelined/classic/LM PCG loops; reference
+    role: backend_cpu_mt.t:698-944."""
 
     def __init__(self, plan, mesh, tile_d=None, tile_h=None):
         assert supports3d(plan, mesh), (
@@ -687,9 +765,20 @@ class ShardedStream3D:
                     out[n] = jnp.stack(
                         [ap[k + j] for j in range(c)], axis=-1)
                     k += c
+                if scs is not None:
+                    out = tmap(
+                        lambda o, c_, pp: o + c_ * pp, out, scs, p)
                 return out
 
-            return _shard_pcg(variant, A, psum, b_hat, L)
+            lm = None
+            if scs is not None:
+                lm = {
+                    "period": jnp.asarray(
+                        sp["residual_reset_period"], jnp.int32),
+                    "q_tol": jnp.asarray(
+                        sp["q_tolerance"], jnp.float32),
+                }
+            return _shard_pcg(variant, A, psum, b_hat, L, lm)
 
         return backend
 

@@ -137,6 +137,45 @@ def test_sharded_stream_matches_single_image_warping(variant):
     assert cost == pytest.approx(ref, rel=1e-5)
 
 
+def test_sharded_stream_matches_single_lm():
+    """LM on the sharded streamed engine: scs diagonal in the per-shard
+    apply, psum'd Q/zeta exit, periodic exact residual replacement --
+    final cost matches the single-device LM solve (the reference runs
+    GN AND LM through every backend, examples/test_final_cost.py:84-95)."""
+    from opt_tpu.parallel import stream_shard as pss
+
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H)
+    ref = _single(energies.image_warping, [W, H], inputs, "LMGPU")
+    plan = _plan(energies.image_warping, [W, H], "LMGPU")
+    assert pss.supports(plan, _mesh1d())
+    cost = pss.solve_sharded_stream(plan, inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=1e-5)
+
+
+def test_sharded_stream_lm_exercises_residual_reset():
+    """With lIterations > residual_reset_period the lax.cond reset
+    branch runs; parity must hold through it."""
+    from opt_tpu.parallel import stream_shard as pss
+
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H, seed=3)
+
+    def mk():
+        p = _plan(energies.image_warping, [W, H], "LMGPU")
+        p.set_solver_parameter("lIterations", 12)
+        p.set_solver_parameter("residual_reset_period", 5)
+        return p
+
+    p1 = mk()
+    x, data = p1.bind(inputs)
+    sp = p1._sp_device()
+    sp["nIterations"] = jnp.asarray(2, jnp.int32)
+    ref = float(p1._full_solve_fn(x, data, sp)["prev_cost"])
+    cost = pss.solve_sharded_stream(mk(), inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=1e-5)
+
+
 def test_sharded_stream_matches_single_poisson_exclude():
     """Exclude() masking flows through sq = 0 into the per-shard apply."""
     from opt_tpu.parallel import stream_shard as pss
@@ -149,11 +188,9 @@ def test_sharded_stream_matches_single_poisson_exclude():
     assert cost == pytest.approx(ref, rel=1e-5)
 
 
-def test_sharded_stream_rejects_lm_and_graphs():
+def test_sharded_stream_rejects_graphs():
     from opt_tpu.parallel import stream_shard as pss
 
-    lm = _plan(energies.image_warping, [128, 64], "LMGPU")
-    assert not pss.supports(lm, _mesh1d())
     graph = _plan(energies.arap_mesh_deformation, [64, 128])
     assert not pss.supports(graph, _mesh1d())
 
@@ -195,6 +232,21 @@ def test_sharded_stream3d_matches_single(variant):
     assert cost == pytest.approx(ref, rel=5e-4)
 
 
+def test_sharded_stream3d_matches_single_lm():
+    """LM through the 3-D sharded streamed engine (scs + Q/zeta + reset
+    on D-slab shards)."""
+    from opt_tpu.parallel import stream_shard as pss
+
+    energy = energies.ALL_ENERGIES["volumetric_mesh_deformation"]
+    W, H, D = 128, 16, 16
+    inputs = _vol_inputs(W, H, D)
+    ref = _single(energy, [W, H, D], inputs, "LMGPU")
+    plan = _plan(energy, [W, H, D], "LMGPU")
+    assert pss.supports3d(plan, _mesh1d())
+    cost = pss.solve_sharded_stream3d(plan, inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=5e-4)
+
+
 def test_sharded_stream3d_rejects():
     from opt_tpu.parallel import stream_shard as pss
 
@@ -202,5 +254,3 @@ def test_sharded_stream3d_rejects():
     # D=8 over 8 devices -> n_local=1 < he=2
     thin = _plan(energy, [128, 16, 8])
     assert not pss.supports3d(thin, _mesh1d())
-    lm = _plan(energy, [128, 16, 16], "LMGPU")
-    assert not pss.supports3d(lm, _mesh1d())
