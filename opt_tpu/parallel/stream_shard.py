@@ -58,8 +58,11 @@ from ..solver.core import tmap
 
 
 def supports(plan, mesh):
-    """Eligibility: GN or LM, one 2-D f32 grid ispace, no SampledImage,
-    lane-aligned width, slab rows sublane-aligned and >= the halo."""
+    """Eligibility: 1-D mesh, GN or LM, one 2-D f32 grid ispace, no
+    SampledImage, lane-aligned width, slab rows sublane-aligned and
+    >= the halo."""
+    if mesh.devices.ndim != 1:
+        return False  # row slabs shard over ONE mesh axis
     if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
@@ -491,6 +494,8 @@ def supports3d(plan, mesh):
     SampledImage, W lane-aligned, H sublane-aligned, D divisible into
     slabs >= the exchange halo (D is the Mosaic-untiled axis, so the
     halo needs no alignment -- unlike the 2-D engine's sublane rows)."""
+    if mesh.devices.ndim != 1:
+        return False  # D slabs shard over ONE mesh axis
     if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:

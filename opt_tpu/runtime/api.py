@@ -743,11 +743,20 @@ class Plan:
         return "xla"
 
     def solve(self, inputs, on_device=True, engine="auto",
-              donate_inputs=False):
+              donate_inputs=False, mesh=None):
         """Opt_ProblemSolve: full solve.  on_device=True runs the whole
         outer loop inside one XLA program (no per-iteration host sync --
         the reference cannot do this; solverGPUGaussNewton.t syncs every
         reduction read).
+
+        mesh: optional jax.sharding.Mesh -- the solve shards over it
+        through the measured-best multi-chip path for this plan
+        (parallel/dispatch.py: GSPMD for graphs and small grids,
+        per-shard streamed Pallas engines past the streamed crossovers),
+        the one-flag backend selection of the reference (Opt.h:23-25)
+        applied to meshes.  Single-chip engine names are accepted as
+        aliases ("xla"->"gspmd", "stream_hbm"->"stream"); "halo",
+        "gspmd", "stream", "stream3d" select a sharded path explicitly.
 
         engine="vmem" runs the entire solve inside one Pallas kernel with
         all state VMEM-resident (opt_tpu/ops/vmem_solver.py) -- fastest
@@ -761,6 +770,15 @@ class Plan:
         and stream3d for volumes >= 64^3 (GN and LM), where each
         measured 1.2-2.7x over the XLA path on v5e
         (docs/sweep_tpu_r3.csv)."""
+        if mesh is not None:
+            from ..parallel.dispatch import solve_sharded_auto
+
+            with self.timer.event("solve"):
+                cost = solve_sharded_auto(self, inputs, mesh,
+                                          engine=engine)
+            if self.state.verbosity > 0:
+                print(f"final cost={cost:.16f}")
+            return cost
         engine = self._pick_engine(engine)
         if engine in ("vmem", "stream_hbm", "stream3d"):
             from ..ops import stream_solver, vmem_solver
