@@ -5,14 +5,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 
 value: wall-clock ms for the full solve (8 GN outer iterations x 400 PCG
-iterations, matrix-free), run entirely on device after one warmup solve.
+iterations, matrix-free) via the fastest eligible engine, run entirely
+on device after one warmup solve.
 
-vs_baseline: speedup vs the only absolute timing anchor the reference
-publishes in-repo -- image_warping PCGStep1 averaging ~24 ms on the fork
-author's CPU (reference: API/src/solverGPUGaussNewton.t:1926-1933).
-PCGStep1 (the J^T J p apply) dominates the solve, so the reference's
-whole-solve time is at least 8*400*24 ms = 76800 ms on that machine;
-vs_baseline = 76800 / value.
+vs_baseline: measured same-hardware ratio -- the fused XLA program's
+wall-clock for the SAME config divided by value (the XLA path is the
+oracle every engine holds cost parity with, so this is the honest
+baseline now that both run on one chip; VERDICT r3 weak #6/next #8).
+1.0 means the XLA program IS the fastest engine at this size.
+
+The reference's only in-repo absolute anchor -- image_warping PCGStep1
+averaging ~24 ms on the fork author's CPU
+(reference: API/src/solverGPUGaussNewton.t:1926-1933), i.e. a
+whole-solve floor of 8*400*24 = 76800 ms there -- is reported as a
+stderr comment (cpu_anchor_vs), NOT as vs_baseline: it extrapolates
+across machines and must not be read as a GPU comparison.
 """
 
 import json
@@ -83,22 +90,58 @@ def main():
         st = plan._full_solve_fn(x_rep, data, sp)
         _ = float(st["prev_cost"])  # host fetch = honest completion
         times.append((time.perf_counter() - t0) * 1e3)
-    value = float(min(times))
+    xla_ms = float(min(times))
 
-    baseline_ms = 8 * 400 * 24.0  # see module docstring
+    # candidate engines at this size: the whole-solve-in-VMEM kernel is
+    # the only one auto doesn't already route (stream_hbm's GN crossover
+    # is 2048^2, docs/sweep_tpu_r3.csv); take the fastest that holds
+    # cost parity so `value` is the best the framework delivers
+    value, engine_name, vmem_note = xla_ms, "xla", ""
+    try:
+        from opt_tpu.ops import vmem_solver
+
+        if vmem_solver.supports(plan):
+            eng = vmem_solver.VmemSolver(plan)
+            out = eng.solve(inputs)  # warmup + compile
+            assert abs(out["final_cost"] - final_cost) <= (
+                1e-4 * abs(final_cost)
+            ), f"vmem cost {out['final_cost']} != xla {final_cost}"
+            tv = []
+            for rep in (1, 2):
+                di = dict(inputs)
+                di["Offset"] = inputs["Offset"] + np.float32(rep * 1e-6)
+                t0 = time.perf_counter()
+                out = eng.solve(di)  # final_cost fetch inside
+                tv.append((time.perf_counter() - t0) * 1e3)
+            vmem_note = f" vmem_ms={min(tv):.1f}"
+            if min(tv) < value:
+                value, engine_name = float(min(tv)), "vmem"
+        else:
+            vmem_note = " vmem=unsupported"
+    except Exception as e:
+        vmem_note = f" vmem_failed={e!r:.80}"
+
+    cpu_anchor_ms = 8 * 400 * 24.0  # see module docstring
     print(
         json.dumps(
             {
                 "metric": "image_warping_512_gn_solve(8x400)",
                 "value": round(value, 1),
                 "unit": "ms",
-                "vs_baseline": round(baseline_ms / value, 2),
+                "vs_baseline": round(xla_ms / value, 2),
+                "baseline": "xla_same_config_ms",
+                "xla_ms": round(xla_ms, 1),
+                "engine": engine_name,
             }
         )
     )
     print(
         f"# backend={jax.default_backend()} final_cost={final_cost:.6f} "
-        f"times_ms={[round(t,1) for t in times]}",
+        f"xla_times_ms={[round(t,1) for t in times]}{vmem_note} "
+        f"engine={engine_name} "
+        f"cpu_anchor_vs={cpu_anchor_ms / value:.0f}x (reference author's "
+        f"CPU extrapolation, solverGPUGaussNewton.t:1926-1933 -- NOT a "
+        f"GPU comparison)",
         file=sys.stderr,
     )
 
@@ -115,6 +158,11 @@ def main():
         aux_large_grid(sys.stderr)
     except Exception as e:
         print(f"# large-grid aux bench failed: {e!r:.120}",
+              file=sys.stderr)
+    try:
+        aux_chunked_outer(sys.stderr)
+    except Exception as e:
+        print(f"# chunked-outer aux bench failed: {e!r:.120}",
               file=sys.stderr)
     try:
         aux_volumetric(sys.stderr)
@@ -277,6 +325,67 @@ def aux_large_grid(err):
         f"stream_hbm={min(t_lm):.1f} ms (T={eng_lm.tile} "
         f"{eng_lm.variant}{'+fused' if eng_lm.fuse_beta else ''}) "
         f"cost={cost_lm:.4f}", file=err,
+    )
+
+
+def aux_chunked_outer(err):
+    """2048^2 GN through the STRIP-MINED outer step (ops/stream_outer.
+    ChunkedOuterFuncs, forced via OPT_TPU_STREAM_CHUNKED_OUTER=1) vs the
+    whole-grid outer on the same streamed engine.  8192^2 and >=192^3 run
+    ONLY through this machinery (docs/ROOFLINE.md) but are too slow for
+    the driver bench, so this line is the regression guard for the
+    only-engine-that-runs regime (VERDICT r3 weak #1 / next #3).  Cost
+    parity is asserted in-script: the strip-mined evaluation sums
+    cost/JtF over row strips, so tolerance is f32 reduction-order only."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+    from opt_tpu.ops.stream_solver import StreamSolverHBM
+
+    W = H = 2048
+    n_outer, n_lin = 8, 100
+    inputs = warp_inputs(W, H)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [W, H],
+    )
+    plan.set_solver_parameter("nIterations", n_outer)
+    plan.set_solver_parameter("lIterations", n_lin)
+    eng = StreamSolverHBM(plan)
+    prev = os.environ.get("OPT_TPU_STREAM_CHUNKED_OUTER")
+    try:
+        os.environ["OPT_TPU_STREAM_CHUNKED_OUTER"] = "0"
+        out = eng.solve(inputs)
+        cost_whole = out["final_cost"]
+
+        os.environ["OPT_TPU_STREAM_CHUNKED_OUTER"] = "1"
+        out = eng.solve(inputs)  # warmup + compile (chunked program)
+        cost_chunked = out["final_cost"]
+        assert abs(cost_chunked - cost_whole) <= 2e-4 * abs(cost_whole), (
+            f"chunked-outer cost {cost_chunked} != whole-grid "
+            f"{cost_whole} (rtol 2e-4)"
+        )
+        times = []
+        for rep in (1, 2):
+            di = dict(inputs)
+            di["Offset"] = inputs["Offset"] + np.float32(rep * 1e-6)
+            t0 = time.perf_counter()
+            out = eng.solve(di)
+            times.append((time.perf_counter() - t0) * 1e3)
+    finally:
+        if prev is None:
+            os.environ.pop("OPT_TPU_STREAM_CHUNKED_OUTER", None)
+        else:
+            os.environ["OPT_TPU_STREAM_CHUNKED_OUTER"] = prev
+    print(
+        f"# aux image_warping_2048_gn_chunked_outer(8x100): "
+        f"{min(times):.1f} ms cost={cost_chunked:.4f} "
+        f"(whole-grid outer cost={cost_whole:.4f}, parity rtol 2e-4 OK)",
+        file=err,
     )
 
 

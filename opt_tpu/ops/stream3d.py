@@ -787,8 +787,11 @@ class StreamSolver3D:
         plan = self.plan
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        donate = (not interpret) and chunked_outer_enabled(plan)
-        key = ("backend", interpret, donate)
+        chunked = chunked_outer_enabled(plan)
+        donate = (not interpret) and chunked
+        # `chunked` in the key: on CPU (interpret) donate is always
+        # False but the outer funcs still differ
+        key = ("backend", interpret, donate, chunked)
         if key not in self._kern_cache:
             base = plan.config
             cfg = SolverConfig(
@@ -800,8 +803,7 @@ class StreamSolver3D:
             )
             from .stream_outer import ChunkedOuterFuncs
 
-            funcs = (ChunkedOuterFuncs(plan)
-                     if chunked_outer_enabled(plan) else plan.funcs)
+            funcs = ChunkedOuterFuncs(plan) if chunked else plan.funcs
             fns = make_solver(funcs, cfg)
             self._kern_cache[key] = jax.jit(
                 fns[4], donate_argnums=(0, 1) if donate else ())

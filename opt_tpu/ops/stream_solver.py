@@ -1855,8 +1855,11 @@ class StreamSolverHBM(StreamSolver):
         # measured via compile memory_analysis); donating x+data lets
         # buffer assignment reuse their ~2 GB as temps and alias the x
         # output.  TPU only (CPU ignores donation with a warning).
-        donate = (not interpret) and chunked_outer_enabled(plan)
-        key = ("backend", interpret, donate)
+        chunked = chunked_outer_enabled(plan)
+        donate = (not interpret) and chunked
+        # key must carry `chunked` separately: on CPU (interpret) donate
+        # is always False, but the outer funcs still differ
+        key = ("backend", interpret, donate, chunked)
         if key not in self._kern_cache:
             base = plan.config
             cfg = SolverConfig(
@@ -1872,8 +1875,7 @@ class StreamSolverHBM(StreamSolver):
             # itself exceeds HBM; evaluate it in row strips instead
             # (ops/stream_outer.py -- measured: 8192^2 needs 33.4 GB
             # whole-grid vs 15.75 GB on v5e)
-            funcs = (ChunkedOuterFuncs(plan)
-                     if chunked_outer_enabled(plan) else plan.funcs)
+            funcs = ChunkedOuterFuncs(plan) if chunked else plan.funcs
             fns = make_solver(funcs, cfg)
             self._kern_cache[key] = jax.jit(
                 fns[4], donate_argnums=(0, 1) if donate else ())

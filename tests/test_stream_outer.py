@@ -105,6 +105,28 @@ def test_chunked_outer_solve_matches_xla(kind, monkeypatch):
         )
 
 
+def test_chunked_outer_cache_key(monkeypatch):
+    """One engine instance solved with the chunked outer OFF then ON:
+    the jit cache must compile two distinct programs (regression: the
+    key lacked the chunked choice when donate=False, i.e. on CPU, so
+    the second solve silently reused the whole-grid outer)."""
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H)
+    plan = _plan(energies.image_warping, [W, H])
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 10)
+    ref_cost, _ = _xla_cost(plan, inputs, 2)
+    solver = ssv.StreamSolverHBM(plan)
+    monkeypatch.setenv("OPT_TPU_STREAM_CHUNKED_OUTER", "0")
+    out0 = solver.solve(inputs)
+    monkeypatch.setenv("OPT_TPU_STREAM_CHUNKED_OUTER", "1")
+    out1 = solver.solve(inputs)
+    backend_keys = [k for k in solver._kern_cache if k[0] == "backend"]
+    assert len(backend_keys) == 2, backend_keys
+    assert out0["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+    assert out1["final_cost"] == pytest.approx(ref_cost, rel=1e-4)
+
+
 # -- 3-D volumetric (D-slab strips) ------------------------------------------
 
 from test_stream3d import _vol_inputs, _plan as _plan3d  # noqa: E402

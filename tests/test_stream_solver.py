@@ -375,6 +375,41 @@ def test_auto_engine_lm_routes_stream():
     assert small._pick_engine("auto") == "xla"
 
 
+def test_f64_falls_back_to_xla():
+    """The streamed engines are f32-only (split-bf16 / Mosaic have no
+    f64 path, docs/ARCHITECTURE.md Known deviations): a
+    double_precision=True plan must fail every streamed gate and
+    auto-route to the fused XLA program even past the crossovers."""
+    from opt_tpu.ops import stream3d as s3d
+    from opt_tpu.parallel import stream_shard as pss
+    import jax
+
+    state = opt_tpu.NewState(double_precision=True)
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [2048, 2048])
+    assert not ssv.supports_hbm(plan)
+    assert plan._pick_engine("auto") == "xla"
+    lm = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"),
+        [1024, 1024])
+    assert not ssv.supports_hbm(lm)
+    assert lm._pick_engine("auto") == "xla"
+    vol = state.problem_plan(
+        state.problem_define(
+            energies.ALL_ENERGIES["volumetric_mesh_deformation"],
+            "gaussNewtonGPU"), [128, 128, 128])
+    assert not s3d.supports3d(vol)
+    assert vol._pick_engine("auto") == "xla"
+    devs = np.array(jax.devices()[:8])
+    mesh = jax.sharding.Mesh(devs, ("shard",))
+    shard2d = state.problem_plan(
+        state.problem_define(energies.image_warping, "gaussNewtonGPU"),
+        [128, 64])
+    assert not pss.supports(shard2d, mesh)
+    assert not pss.supports3d(vol, mesh)
+
+
 def test_donate_inputs_plumbing():
     """plan.solve(donate_inputs=True): on CPU (interpret mode) donation
     is inert, but the kwarg must plumb through to StreamSolverHBM.solve
