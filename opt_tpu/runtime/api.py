@@ -34,6 +34,12 @@ from .timing import KernelTimer
 GN_KINDS = ("gaussNewtonGPU", "gauss_newton", "gaussNewton", "GN")
 LM_KINDS = ("LMGPU", "levenberg_marquardt", "levenbergMarquardt", "LM")
 
+# solve_many auto-mode guardrail: batching wins while the whole batch's
+# PCG carries stay VMEM-resident -- measured wins at batch x pixels
+# <= 2^20 (128^2 x 64 = 2.35x, 256^2 x 16 = 1.17x) and a loss at 2^21
+# (512^2 x 8 = 0.53x), docs/sweep_tpu_r3.csv
+SOLVE_MANY_AUTO_MAX_PIXELS = 1 << 20
+
 
 class Problem:
     def __init__(self, energy, kind):
@@ -862,7 +868,7 @@ class Plan:
 
     Solve = solve
 
-    def solve_many(self, inputs_list, mesh=None):
+    def solve_many(self, inputs_list, mesh=None, mode="auto"):
         """Batched multi-problem solve: N instances of this plan's
         problem (same shapes, independent data) solved in ONE dispatch
         via jax.vmap over the whole jitted outer loop.
@@ -876,33 +882,67 @@ class Plan:
         (done flag / trust-region state) keep their exact
         single-problem semantics per lane.
 
+        mode: "auto" (default) routes grid batches whose total
+        batch x pixels exceeds the measured win region back to the
+        sequential solo loop -- batching LOSES once the batched PCG
+        carries exceed VMEM residency while a solo solve's still fit
+        (512^2 x 8 batched = 0.53x solo, vs 2.35x at 128^2 x 64 and
+        1.17x at 256^2 x 16, docs/sweep_tpu_r3.csv) -- so callers never
+        silently land in the losing regime.  "batched"/"solo" force a
+        path.  Both paths return the same list of costs and leave the
+        same stacked _batched_state.
+
         mesh: optional jax.sharding.Mesh -- the batch axis is sharded
         across every mesh axis (data-parallel serving: each device
         solves its share of problems with no cross-chip communication).
-        N must be a multiple of the mesh size.
+        N must be a multiple of the mesh size.  With a mesh the batched
+        path is always used (the guardrail threshold then applies
+        per-device).
 
-        Grid problems only: graph banding plans are bound per-plan, not
-        per-lane (a batch of different topologies has no shared banded
-        layout).  Returns a list of final costs; the batched unknowns
-        stay on device in self._batched_state ("x" has a leading batch
-        axis; use batch_unknowns(i) to fetch one problem's solution).
+        Graph problems batch in take-mode (gathers/segment_sums vmap
+        over per-lane edge indices, so lanes may have DIFFERENT
+        topologies); banding is plan-level, so the banded MXU engine is
+        never used here -- for one big graph, shard it spatially via
+        plan.solve(mesh=...) instead.  Returns a list of final costs;
+        the batched unknowns stay on device in self._batched_state
+        ("x" has a leading batch axis; use batch_unknowns(i) to fetch
+        one problem's solution).
         """
-        if self.spec.graphs:
-            raise NotImplementedError(
-                "solve_many supports grid problems only (graph banding "
-                "is plan-level; solve each graph problem separately or "
-                "shard one big graph via parallel.mesh.solve_sharded)"
-            )
+        if mode not in ("auto", "batched", "solo"):
+            raise ValueError(f"mode must be auto/batched/solo: {mode!r}")
         if not inputs_list:
             return []
-        binds = [self.bind(i) for i in inputs_list]
-        stack = lambda *ls: jnp.stack([jnp.asarray(l) for l in ls])
-        xs = jax.tree_util.tree_map(stack, *[b[0] for b in binds])
-        ds = jax.tree_util.tree_map(stack, *[b[1] for b in binds])
         sp = dict(self._sp_device())
         sp["nIterations"] = jnp.asarray(
             int(self.solver_params["nIterations"]), jnp.int32
         )
+        if mode == "auto" and mesh is None and self.spec.images:
+            px = int(np.prod(
+                next(iter(self.spec.images.values())).ispace.shape))
+            if len(inputs_list) * px > SOLVE_MANY_AUTO_MAX_PIXELS:
+                mode = "solo"
+        if mode == "solo":
+            stack = lambda *ls: jnp.stack([jnp.asarray(l) for l in ls])
+            sts = []
+            with self.timer.event("solve_many"):
+                for i in inputs_list:
+                    x, d = self.bind(i, graph_mode="take")
+                    sts.append(self._full_solve_fn(x, d, sp))
+                jax.block_until_ready(sts)
+            st = jax.tree_util.tree_map(stack, *sts)
+            self._batched_state = st
+            costs = [float(c) for c in np.asarray(st["prev_cost"])]
+            if self.state.verbosity > 0:
+                for c in costs:
+                    print(f"final cost={c:.16f}")
+            return costs
+        # take-mode binds: graph_indices are per-lane data (vmapped
+        # gathers), so lanes may differ in topology; banded layouts are
+        # plan-level and cannot batch
+        binds = [self.bind(i, graph_mode="take") for i in inputs_list]
+        stack = lambda *ls: jnp.stack([jnp.asarray(l) for l in ls])
+        xs = jax.tree_util.tree_map(stack, *[b[0] for b in binds])
+        ds = jax.tree_util.tree_map(stack, *[b[1] for b in binds])
         if getattr(self, "_solve_many_fn", None) is None:
             self._solve_many_fn = jax.jit(
                 jax.vmap(self.raw_full_solve_fn, in_axes=(0, 0, None))

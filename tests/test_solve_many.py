@@ -70,16 +70,7 @@ def test_solve_many_sharded_mesh():
     np.testing.assert_allclose(costs, solo, rtol=2e-5)
 
 
-def test_solve_many_rejects_graphs_and_bad_batch():
-    from tests.test_solver_dense import arap_graph_energy, arap_inputs
-
-    state = opt_tpu.NewState()
-    plan = state.problem_plan(
-        state.problem_define(arap_graph_energy, "gaussNewtonGPU"), [6, 12]
-    )
-    with pytest.raises(NotImplementedError):
-        plan.solve_many([arap_inputs(6)])
-
+def test_solve_many_rejects_bad_batch():
     from opt_tpu.parallel import mesh as pmesh
 
     W, H = 9, 7
@@ -92,3 +83,65 @@ def test_solve_many_rejects_graphs_and_bad_batch():
             [warp_inputs(W, H, seed=s) for s in range(3)],
             mesh=pmesh.make_mesh(8),
         )
+    with pytest.raises(ValueError, match="mode"):
+        plan2.solve_many([warp_inputs(W, H)], mode="warp9")
+
+
+def test_solve_many_graphs_take_mode():
+    """Graph batches vmap in take-mode -- lanes may even have DIFFERENT
+    edge topologies (per-lane graph_indices are batched data)."""
+    from tests.test_solver_dense import arap_graph_energy, arap_inputs
+
+    N, E = 6, 12
+    inputs_list = [arap_inputs(N, seed=s) for s in (0, 1, 2)]
+    # give lane 2 a different topology: reverse its edge list
+    g2 = dict(inputs_list[2]["G"])
+    g2["v0"], g2["v1"] = g2["v1"], g2["v0"]
+    inputs_list[2] = {**inputs_list[2], "G": g2}
+
+    solo = []
+    for inp in inputs_list:
+        st = opt_tpu.NewState()
+        p = st.problem_plan(
+            st.problem_define(arap_graph_energy, "gaussNewtonGPU"),
+            [N, E])
+        p.set_solver_parameter("nIterations", 3)
+        p.set_solver_parameter("lIterations", 7)
+        solo.append(p.solve(inp, engine="xla"))
+
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(arap_graph_energy, "gaussNewtonGPU"),
+        [N, E])
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 7)
+    costs = plan.solve_many(inputs_list)
+    np.testing.assert_allclose(costs, solo, rtol=2e-5)
+
+
+def test_solve_many_auto_guardrail(monkeypatch):
+    """auto mode must route batches past the measured win region
+    (batch x pixels > 2^20, docs/sweep_tpu_r3.csv: 512^2 x 8 batched =
+    0.53x solo) to the sequential solo loop -- same costs, same
+    _batched_state contract; mode='batched' forces the vmap path."""
+    import opt_tpu.runtime.api as api
+
+    W, H = 9, 7
+    inputs_list = [warp_inputs(W, H, seed=s) for s in (0, 1, 2)]
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(warp_energy, "gaussNewtonGPU"), [W, H]
+    )
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 6)
+    batched = plan.solve_many(inputs_list, mode="batched")
+
+    # shrink the guardrail so this tiny batch trips it
+    monkeypatch.setattr(api, "SOLVE_MANY_AUTO_MAX_PIXELS", W * H * 2)
+    assert getattr(plan, "_solve_many_fn", None) is not None
+    plan._solve_many_fn = None  # auto must NOT need the vmapped program
+    routed = plan.solve_many(inputs_list)  # auto -> solo
+    assert plan._solve_many_fn is None, "auto did not route to solo"
+    np.testing.assert_allclose(routed, batched, rtol=2e-5)
+    x0 = plan.batch_unknowns(0)
+    assert set(x0) == {"Offset", "Angle"}
