@@ -22,17 +22,28 @@ coord_offsets = (d0 - h_d, r0 - h_h, 0)); validated against the
 whole-grid jax.linearize/transpose apply in
 examples/probe_3d_window2.py.
 
-The PCG loop is the pipelined (one-barrier, Ghysels & Vanroose)
-recurrence of StreamSolverHBM._build_pipelined_kernel: both reductions
-use the previous sweep's vectors, so each iteration is ONE
-double-buffered pass over the (n_td x n_th) tile grid reading
-[ins window | w window | stacked 5-vector state tile] and writing the
-updated state + the ping-ponged w (A/B slot pair: w halo rows are read
-by neighbouring tiles in the same sweep).  LM runs on the same
-one-barrier loop (scs diagonal in the apply, per-sweep Q accumulation,
-zeta exit, periodic exact residual replacement with slot-parity flip —
-the 2-D pipelined-LM design; there is no classic 3-D kernel), with the
-trust region in solver/core via the pcg_backend hook.
+TWO PCG kernels share the tile grid and evaluator (_apply_tile):
+
+* 'pipelined' (default while it fits HBM): the one-barrier Ghysels &
+  Vanroose recurrence of StreamSolverHBM._build_pipelined_kernel --
+  both reductions use the previous sweep's vectors, so each iteration
+  is ONE double-buffered pass reading [ins window | w window | stacked
+  5-vector state tile] and writing the updated state + the ping-ponged
+  w (A/B slot pair: w halo rows are read by neighbouring tiles in the
+  same sweep).  LM runs on the same one-barrier loop (scs diagonal in
+  the apply, per-sweep Q accumulation, zeta exit, periodic exact
+  residual replacement with slot-parity flip -- the 2-D pipelined-LM
+  design), with the trust region in solver/core via the pcg_backend
+  hook.
+* 'classic' (the CAPACITY variant, auto-selected when the pipelined
+  state no longer fits HBM): three sweeps per iteration (apply /
+  update / p-update) with only 4 hat-space state fields and NO w
+  ping-pong -- p windows read straight off the single haloed p buffer
+  because p is never written during the apply sweep.  4 fewer
+  whole-volume fields = ~5.4 GB at 384^3 for the 6-channel volumetric
+  ARAP, which is exactly what the pipelined variant OOMed by
+  (docs/ROUND3_TODO.md #13); it unlocks 384^3 at the cost of two extra
+  reduction barriers per iteration.
 
 Same hat-space math as the 2-D engine: PCG runs on
 A_hat = S (JtJ) S with S = sqrt(guarded_invert(diag JtJ)), excluded
@@ -95,7 +106,7 @@ def _n_res_channels(funcs):
     )
 
 
-def _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W):
+def _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W, variant="pipelined"):
     funcs = plan.funcs
     lm = plan.config.uses_lambda
     nU = sum(s[-1] for s in funcs.unknown_shapes.values())
@@ -106,19 +117,26 @@ def _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, W):
     nIn = 2 * nU + nC + (nU if lm else 0)   # x | consts | sqp [| scs]
     WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
     win_elems = WIN_d * WIN_h * W
-    windows = 2 * (nIn + nU) * win_elems * 4        # ins + w (A+B)
-    # z|s|p|d|r [+ b] tiles (A+B)
-    state = 2 * (6 if lm else 5) * nU * T_d * T_h * W * 4
+    windows = 2 * (nIn + nU) * win_elems * 4   # ins + w/p (A+B)
+    if variant == "classic":
+        # d|r|ap + p center [+ b] tiles (A+B)
+        state = 2 * (5 if lm else 4) * nU * T_d * T_h * W * 4
+    else:
+        # z|s|p|d|r [+ b] tiles (A+B)
+        state = 2 * (6 if lm else 5) * nU * T_d * T_h * W * 4
     temps = int(
         HBM_TEMP_PLANES_FACTOR * _n_res_channels(funcs) * win_elems * 4
     )
     return windows + state + temps
 
 
-def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
+def _tile_search3d(plan, max_tile_d=None, max_tile_h=None,
+                   variant="pipelined"):
     """Feasible (T_d, T_h) minimizing the halo traffic amplification
-    (WIN_d/T_d)*(WIN_h/T_h) under the pipelined VMEM budget; ties break
-    toward fewer tiles.  Returns (T_d, T_h) or None."""
+    (WIN_d/T_d)*(WIN_h/T_h) under the VMEM budget; ties break
+    toward fewer tiles.  Returns (T_d, T_h) or None.  Both variants
+    use the larger 'pipelined' VMEM budget key (their window sets are
+    the same size; classic's state tiles are smaller)."""
     shape = next(iter(plan.spec.images.values())).ispace.shape
     if len(shape) != 3:
         return None
@@ -137,7 +155,8 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
                          SUBLANE):
             if Hp % T_h or T_h < h_h:
                 continue
-            if _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, Wp) > budget:
+            if _estimate_vmem3d(plan, T_d, T_h, h_d, h_h, Wp,
+                                variant) > budget:
                 continue
             amp = ((T_d + 2 * h_d) / T_d) * ((T_h + 2 * h_h) / T_h)
             n_tiles = (D // T_d) * (Hp // T_h)
@@ -147,11 +166,9 @@ def _tile_search3d(plan, max_tile_d=None, max_tile_h=None):
     return best[1] if best else None
 
 
-def _eligible3d(plan):
-    """Structural eligibility (everything except the tile search): GN
-    or LM, one 3-D f32 grid ispace, no graphs/SampledImage, and the
-    whole PADDED volume (engine HBM state + the whole-grid XLA outer
-    step) under the HBM gate.  H/W need no alignment (padded)."""
+def _structural3d(plan):
+    """Variant-independent eligibility: GN or LM, one 3-D f32 grid
+    ispace, no graphs/SampledImage."""
     if plan.spec.graphs:
         return False
     if plan.funcs.dtype != jnp.float32:
@@ -164,21 +181,30 @@ def _eligible3d(plan):
     for g in plan.funcs.groups:
         if g.kind != "centered" or g.ispace.ndims != 3:
             return False
-    if _has_sampled(plan.spec):
-        return False
-    # no alignment requirement: H pads to the next sublane multiple and
-    # W to the next lane multiple (zero-padded, residuals masked by
-    # real_domain_mask like the VMEM engine's lane padding)
+    return not _has_sampled(plan.spec)
+
+
+def _hbm_fits3d(plan, variant):
+    """HBM gate for one variant: the engine's resident field count per
+    PADDED voxel (H pads to sublanes, W to lanes; zero-filled pads are
+    masked by real_domain_mask) plus the whole-volume XLA outer step's
+    modeled temporaries below the chunked-outer threshold."""
     D, H, W = next(iter(plan.spec.images.values())).ispace.shape
     Hp, Wp = _roundup(H, SUBLANE), _roundup(W, LANE)
     funcs = plan.funcs
+    lm = plan.config.uses_lambda
     nU = sum(s[-1] for s in funcs.unknown_shapes.values())
     nC = sum(
         im.channels for n, im in plan.spec.images.items()
         if not im.is_unknown and n not in funcs.aliases
     )
-    nIn = 2 * nU + nC + (nU if plan.config.uses_lambda else 0)
-    f32_per_voxel = nIn + 8 * nU
+    nIn = 2 * nU + nC + (nU if lm else 0)
+    if variant == "classic":
+        # ins + b + p (haloed) + st d|r|ap [+ the haloed reset scratch]
+        f32_per_voxel = nIn + (6 if lm else 5) * nU
+    else:
+        # ins + b + w A/B (haloed) + st z|s|p|d|r
+        f32_per_voxel = nIn + 8 * nU
     from .stream_outer import chunked_outer_enabled
 
     if not chunked_outer_enabled(plan):
@@ -192,33 +218,76 @@ def _eligible3d(plan):
         # dominate) -- so the auto threshold sits at the largest
         # measured-working size, not at this model's prediction
         f32_per_voxel += OUTER_F32_PER_UNKNOWN_CHANNEL * nU
+    else:
+        # the strip-mined outer's ChunkedOuterFuncs._padded duplicates
+        # every plane with a window-halo'd copy: the data-image pads
+        # (nC) are loop-invariant so XLA hoists them out of the outer
+        # while loop (persistently resident -- the "~1.4 GB of
+        # duplicated padded data planes" in the measured 384^3 OOM
+        # resident list, docs/ROUND3_TODO.md #13), and the x pads (nU)
+        # are live alongside the engine state during each outer step.
+        # Without this charge the model said 384^3 pipelined fits at
+        # 13.9 GB; the compile OOMed at 18.71 of 15.75 GB.
+        f32_per_voxel += nU + nC
     return D * Hp * Wp * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
 
 
+def _pick_variant3d(plan):
+    """'pipelined' (one barrier/iter, measured fastest) while its 8
+    hat-space state fields fit HBM; 'classic' (three sweeps/iter, 4
+    state fields, no w ping-pong) past that -- the capacity variant
+    that unlocks 384^3 (pipelined OOMed at compile: 18.71 GB wanted of
+    15.75, docs/ROUND3_TODO.md #13).  OPT_TPU_STREAM3D_VARIANT
+    overrides."""
+    env = _os.environ.get("OPT_TPU_STREAM3D_VARIANT")
+    if env in ("pipelined", "classic"):
+        return env
+    if _hbm_fits3d(plan, "pipelined"):
+        return "pipelined"
+    if _hbm_fits3d(plan, "classic"):
+        return "classic"
+    return None
+
+
+def _eligible3d(plan, variant=None):
+    if not _structural3d(plan):
+        return False
+    if variant is None:
+        return _pick_variant3d(plan) is not None
+    return _hbm_fits3d(plan, variant)
+
+
 def supports3d(plan, max_tile_d=None, max_tile_h=None):
-    """Eligibility: _eligible3d plus a feasible tile pair under the
-    VMEM budget."""
-    return (_eligible3d(plan)
-            and _tile_search3d(plan, max_tile_d, max_tile_h) is not None)
+    """Eligibility: structural + an HBM-fitting variant plus a feasible
+    tile pair under the VMEM budget."""
+    if not _structural3d(plan):
+        return False
+    variant = _pick_variant3d(plan)
+    return (variant is not None
+            and _tile_search3d(plan, max_tile_d, max_tile_h,
+                               variant) is not None)
 
 
 class StreamSolver3D:
     """Two-axis-tiled streamed HBM-state pipelined PCG for 3-D grids."""
 
-    def __init__(self, plan, tile_d=None, tile_h=None):
-        if not _eligible3d(plan):
+    def __init__(self, plan, tile_d=None, tile_h=None, variant=None):
+        if variant is None:
+            variant = _pick_variant3d(plan) if _structural3d(plan) else None
+        if variant is None or not _eligible3d(plan, variant):
             raise ValueError(
                 "plan not eligible for the 3-D streamed engine (needs "
                 "GN or LM, one 3-D f32 grid ispace, no graphs/"
-                "SampledImage, volume under the HBM gate)"
+                "SampledImage, volume under the HBM gate for the "
+                "pipelined or classic variant)"
             )
-        pick = _tile_search3d(plan, tile_d, tile_h)
+        pick = _tile_search3d(plan, tile_d, tile_h, variant)
         if pick is None:
             raise ValueError(
                 "no feasible (T_d, T_h) tile pair under the VMEM budget"
             )
         self.plan = plan
-        self.variant = "pipelined"
+        self.variant = variant
         funcs = plan.funcs
         D, H, W = next(iter(plan.spec.images.values())).ispace.shape
         self.D, self.H, self.W = D, H, W
@@ -267,6 +336,68 @@ class StreamSolver3D:
             for n in self.unknown_names + self.const_names
         }
         self._kern_cache = {}
+
+    # -- shared tile apply ---------------------------------------------------
+
+    def _apply_tile(self, iw, wv, params, d0, r0):
+        """A_hat apply on ONE tile: from an ins window `iw` (VMEM ref,
+        (nIn, WIN_d, WIN_h, W) channel planes [x | consts | sq | scs])
+        and a source window plane list `wv` (nU of (WIN_d, WIN_h, W)),
+        compute the hat-space JtJ [+ scs] application on the tile CENTER
+        and return (n_arr, wc): the (nU, T_d, T_h, W) result and the
+        cropped source center.  Shared by the pipelined and classic
+        kernels (the evaluator machinery is identical; only the PCG
+        recurrence differs)."""
+        un, cn = self.unknown_names, self.const_names
+        chans = self.chans
+        tf = self.tfuncs
+        h_d, h_h = self.h_d, self.h_h
+        T_d, T_h = self.tile_d, self.tile_h
+        lm = self.plan.config.uses_lambda
+        nU = sum(chans[n] for n in un)
+        j = 0
+        x_win = {}
+        for n in un:
+            x_win[n] = [iw[j + c] for c in range(chans[n])]
+            j += chans[n]
+        imgs = {}
+        for n in cn:
+            imgs[n] = [iw[j + c] for c in range(chans[n])]
+            j += chans[n]
+        sq_win = [iw[j + k] for k in range(nU)]
+        scs_win = [iw[j + nU + k] for k in range(nU)] if lm else None
+        data_win = {"images": imgs, "params": params,
+                    "graph_indices": {}}
+        k = 0
+        p_sc = {}
+        for n in un:
+            pwn = []
+            for c in range(chans[n]):
+                pwn.append(sq_win[k] * wv[k])
+                k += 1
+            p_sc[n] = pwn
+        tf.coord_offsets = (d0 - h_d, r0 - h_h, 0)
+        fn = lambda xx: tf.residuals_solve(xx, data_win)
+        _, jvp_fn = jax.linearize(fn, x_win)
+        jt_fn = jax.linear_transpose(jvp_fn, x_win)
+        (grad,) = jt_fn(jvp_fn(p_sc))
+        aps = []
+        k = 0
+        for n in un:
+            for c in range(chans[n]):
+                ap = (
+                    sq_win[k][h_d:h_d + T_d, h_h:h_h + T_h]
+                    * grad[n][c][h_d:h_d + T_d, h_h:h_h + T_h])
+                if lm:  # + scs diagonal (hat-space CtC)
+                    ap = ap + (
+                        scs_win[k][h_d:h_d + T_d, h_h:h_h + T_h]
+                        * wv[k][h_d:h_d + T_d, h_h:h_h + T_h])
+                aps.append(ap)
+                k += 1
+        n_arr = jnp.stack(aps)              # (nU, T_d, T_h, W)
+        wc = jnp.stack(
+            [wv[k][h_d:h_d + T_d, h_h:h_h + T_h] for k in range(nU)])
+        return n_arr, wc
 
     # -- the pipelined kernel ----------------------------------------------
 
@@ -412,55 +543,8 @@ class StreamSolver3D:
                     else:
                         gam, ddd = acc
                     iw, wwx, sbx, sm = bufs[b]
-                    j = 0
-                    x_win = {}
-                    for n in un:
-                        x_win[n] = [iw[j + c] for c in range(chans[n])]
-                        j += chans[n]
-                    imgs = {}
-                    for n in cn:
-                        imgs[n] = [iw[j + c] for c in range(chans[n])]
-                        j += chans[n]
-                    sq_win = [iw[j + k] for k in range(nU)]
-                    scs_win = (
-                        [iw[j + nU + k] for k in range(nU)]
-                        if lm else None)
-                    data_win = {"images": imgs, "params": params,
-                                "graph_indices": {}}
                     wv = [wwx[k] for k in range(nU)]
-                    k = 0
-                    p_sc = {}
-                    for n in un:
-                        pwn = []
-                        for c in range(chans[n]):
-                            pwn.append(sq_win[k] * wv[k])
-                            k += 1
-                        p_sc[n] = pwn
-                    tf.coord_offsets = (d0 - h_d, r0 - h_h, 0)
-                    fn = lambda xx: tf.residuals_solve(xx, data_win)
-                    _, jvp_fn = jax.linearize(fn, x_win)
-                    jt_fn = jax.linear_transpose(jvp_fn, x_win)
-                    (grad,) = jt_fn(jvp_fn(p_sc))
-                    aps = []
-                    k = 0
-                    for n in un:
-                        for c in range(chans[n]):
-                            ap = (
-                                sq_win[k][h_d:h_d + T_d, h_h:h_h + T_h]
-                                * grad[n][c][h_d:h_d + T_d,
-                                             h_h:h_h + T_h])
-                            if lm:  # + scs diagonal (hat-space CtC)
-                                ap = ap + (
-                                    scs_win[k][h_d:h_d + T_d,
-                                               h_h:h_h + T_h]
-                                    * wv[k][h_d:h_d + T_d,
-                                            h_h:h_h + T_h])
-                            aps.append(ap)
-                            k += 1
-                    n_arr = jnp.stack(aps)          # (nU, T_d, T_h, W)
-                    wc = jnp.stack(
-                        [wv[k][h_d:h_d + T_d, h_h:h_h + T_h]
-                         for k in range(nU)])
+                    n_arr, wc = self._apply_tile(iw, wv, params, d0, r0)
                     if is_init:
                         ddd = ddd + jnp.sum(n_arr * wc)
                         wwx[:, pl.ds(0, T_d), pl.ds(0, T_h)] = n_arr
@@ -695,12 +779,407 @@ class StreamSolver3D:
             interpret=interpret,
         )
 
+    # -- the classic (capacity) kernel ---------------------------------------
+
+    def _build_classic_kernel(self, interpret):
+        """Classic three-sweep PCG over the tile grid -- the CAPACITY
+        variant: 4 hat-space state fields (delta | r | ap in one
+        unhaloed st buffer, plus ONE haloed p) instead of the pipelined
+        kernel's 8 (z|s|p|d|r + the w A/B ping-pong), saving
+        4 fields x nU channels x D*Hp*Wp*4 B -- ~5.4 GB at 384^3 for the
+        6-channel volumetric ARAP, which is what the pipelined variant
+        OOMed by (18.71 GB wanted of 15.75, docs/ROUND3_TODO.md #13).
+
+        Per iteration (the recurrence of parallel/stream_shard._shard_pcg
+        classic / solver/core's XLA loop):
+          sweep A: ap = A_hat p per tile (evaluator apply on p windows
+                   read straight off the single haloed p buffer -- no
+                   ping-pong: p is never written during the sweep),
+                   den = sum(p.ap)
+          sweep B: delta += alpha p, r -= alpha ap, bn = sum(r.r)
+                   (LM also qd = sum(delta.(r+b)))
+          sweep C: p = r + beta p        (beta needs the full bn)
+        LM adds the Q/zeta exit and the periodic exact residual
+        replacement r = b - A delta (solverGPUGaussNewton.t:713-719,
+        :738-813, :2128-2139): delta stages into a dedicated zero-edged
+        haloed scratch, one apply pass recomputes r/bn/qd; p is NOT
+        recomputed (beta then p = r + beta p_old, exactly the classic
+        loop's reset semantics)."""
+        T_d, T_h = self.tile_d, self.tile_h
+        h_d, h_h = self.h_d, self.h_h
+        D, H, W = self.D, self.Hp, self.Wp   # kernel works on PADDED extents
+        un, cn, pn = self.unknown_names, self.const_names, self.param_names
+        chans = self.chans
+        n_th = self.n_th
+        n_tiles = self.n_tiles
+        nU = sum(chans[n] for n in un)
+        nC = sum(chans[n] for n in cn)
+        lm = self.plan.config.uses_lambda
+        nIn = 2 * nU + nC + (nU if lm else 0)
+        WIN_d, WIN_h = T_d + 2 * h_d, T_h + 2 * h_h
+        # st_any blocks and sb (VMEM state-tile) slots
+        Dd, R, AP = 0, nU, 2 * nU
+        P_s, B_s = 3 * nU, 4 * nU
+        NSB = 5 * nU if lm else 4 * nU
+
+        def coords(t):
+            td = t // n_th
+            th = t % n_th
+            return td * T_d, pl.multiple_of(th * T_h, SUBLANE)
+
+        def kernel(*refs):
+            if lm:
+                (ins_any, b_any, p_in, scr_in, pref, ctl_i, ctl_f,
+                 st_any, p_any, scr_any,
+                 insw, pw, sb, insw2, pw2, sb2, sem, sem2) = refs
+            else:
+                (ins_any, b_any, p_in, pref, ctl_i,
+                 st_any, p_any,
+                 insw, pw, sb, insw2, pw2, sb2, sem, sem2) = refs
+                ctl_f = scr_any = None
+            del p_in  # aliased to p_any
+            params = {name: pref[k, 0] for k, name in enumerate(pn)}
+            L = ctl_i[0, 0]
+            if lm:
+                del scr_in  # aliased to scr_any
+                period = ctl_i[1, 0]
+                q_tol = ctl_f[0, 0]
+            bufs = ((insw, pw, sb, sem), (insw2, pw2, sb2, sem2))
+
+            def _sdiv(a, bb):
+                return jnp.where(
+                    bb != 0.0, a / jnp.where(bb != 0.0, bb, 1.0), 0.0)
+
+            def pair_loop(reads, compute, zero):
+                """Double-buffered tile sweep: reads(b, d0, r0) builds
+                the copy set, compute(b, d0, r0, acc) consumes buffer b
+                (same A/B overlap structure as the pipelined sweep)."""
+                def start_reads(b, d0, r0):
+                    for cp in reads(b, d0, r0):
+                        cp.start()
+
+                def wait_reads(b, d0, r0):
+                    for cp in reads(b, d0, r0):
+                        cp.wait()
+
+                if n_tiles % 2:
+                    def tile(t, acc):
+                        d0, r0 = coords(t)
+                        start_reads(0, d0, r0)
+                        wait_reads(0, d0, r0)
+                        return compute(0, d0, r0, acc)
+
+                    return jax.lax.fori_loop(0, n_tiles, tile, zero)
+
+                n_pairs = n_tiles // 2
+                start_reads(0, *coords(0))
+
+                def pair(k2, acc):
+                    dA, rA = coords(2 * k2)
+                    dB, rB = coords(2 * k2 + 1)
+                    start_reads(1, dB, rB)
+                    wait_reads(0, dA, rA)
+                    acc = compute(0, dA, rA, acc)
+                    nk = jnp.minimum(k2 + 1, n_pairs - 1)
+                    start_reads(0, *coords(nk * 2))
+                    wait_reads(1, dB, rB)
+                    acc = compute(1, dB, rB, acc)
+                    return acc
+
+                acc = jax.lax.fori_loop(0, n_pairs, pair, zero)
+                wait_reads(0, *coords((n_pairs - 1) * 2))
+                return acc
+
+            # ---- staging: p center = b, st D = 0, R = b; an0 = <b,b> --
+            sb[pl.ds(0, nU)] = jnp.zeros((nU, T_d, T_h, W), jnp.float32)
+
+            def stage(t, an):
+                d0, r0 = coords(t)
+                cp = pltpu.make_async_copy(
+                    b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                    sb.at[pl.ds(R, nU)], sem)
+                cp.start(); cp.wait()
+                v = sb[R:R + nU]
+                an = an + jnp.sum(v * v)
+                cps = [
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(R, nU)],
+                        st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem),
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(R, nU)],
+                        p_any.at[:, pl.ds(d0 + h_d, T_d),
+                                 pl.ds(r0 + h_h, T_h)], sem),
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem),
+                    # AP rows zeroed too: sweep A overwrites them, but
+                    # uninitialized output rows would leak garbage if
+                    # L == 0
+                    pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        st_any.at[pl.ds(AP, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem),
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                return an
+
+            an0 = jax.lax.fori_loop(0, n_tiles, stage, jnp.float32(0.0))
+
+            # ---- sweep A: ap = A_hat src, den = <src, ap> -------------
+            # src_any: p_any normally; the LM reset re-runs it on the
+            # delta-staged scratch
+            def make_apply_sweep(src_any):
+                def reads(b, d0, r0):
+                    iw, pwx, sbx, sm = bufs[b]
+                    return [
+                        pltpu.make_async_copy(
+                            ins_any.at[:, pl.ds(d0, WIN_d),
+                                       pl.ds(r0, WIN_h)], iw, sm),
+                        pltpu.make_async_copy(
+                            src_any.at[:, pl.ds(d0, WIN_d),
+                                       pl.ds(r0, WIN_h)], pwx, sm),
+                    ]
+
+                def compute(b, d0, r0, den):
+                    iw, pwx, sbx, sm = bufs[b]
+                    wv = [pwx[k] for k in range(nU)]
+                    n_arr, pc = self._apply_tile(iw, wv, params, d0, r0)
+                    den = den + jnp.sum(n_arr * pc)
+                    sbx[pl.ds(AP, nU)] = n_arr
+                    cp = pltpu.make_async_copy(
+                        sbx.at[pl.ds(AP, nU)],
+                        st_any.at[pl.ds(AP, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sm)
+                    cp.start(); cp.wait()
+                    return den
+
+                return lambda: pair_loop(reads, compute,
+                                         jnp.float32(0.0))
+
+            apply_sweep = make_apply_sweep(p_any)
+
+            # ---- sweep B: delta += alpha p, r -= alpha ap -------------
+            def update_sweep(alpha):
+                def reads(b, d0, r0):
+                    iw, pwx, sbx, sm = bufs[b]
+                    cps = [
+                        pltpu.make_async_copy(
+                            st_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sbx.at[pl.ds(0, 3 * nU)], sm),
+                        pltpu.make_async_copy(
+                            p_any.at[:, pl.ds(d0 + h_d, T_d),
+                                     pl.ds(r0 + h_h, T_h)],
+                            sbx.at[pl.ds(P_s, nU)], sm),
+                    ]
+                    if lm:
+                        cps.append(pltpu.make_async_copy(
+                            b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sbx.at[pl.ds(B_s, nU)], sm))
+                    return cps
+
+                def compute(b, d0, r0, acc):
+                    iw, pwx, sbx, sm = bufs[b]
+                    d_new = sbx[Dd:Dd + nU] + alpha * sbx[P_s:P_s + nU]
+                    r_new = sbx[R:R + nU] - alpha * sbx[AP:AP + nU]
+                    if lm:
+                        bn, qd = acc
+                        qd = qd + jnp.sum(
+                            d_new * (r_new + sbx[B_s:B_s + nU]))
+                    else:
+                        (bn,) = acc
+                    bn = bn + jnp.sum(r_new * r_new)
+                    sbx[pl.ds(Dd, nU)] = d_new
+                    sbx[pl.ds(R, nU)] = r_new
+                    cp = pltpu.make_async_copy(
+                        sbx.at[pl.ds(0, 2 * nU)],
+                        st_any.at[pl.ds(0, 2 * nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sm)
+                    cp.start(); cp.wait()
+                    return (bn, qd) if lm else (bn,)
+
+                zero = ((jnp.float32(0.0),) * 2 if lm
+                        else (jnp.float32(0.0),))
+                return pair_loop(reads, compute, zero)
+
+            # ---- sweep C: p = r + beta * p ----------------------------
+            def p_sweep(beta):
+                def reads(b, d0, r0):
+                    iw, pwx, sbx, sm = bufs[b]
+                    return [
+                        pltpu.make_async_copy(
+                            st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
+                                      pl.ds(r0, T_h)],
+                            sbx.at[pl.ds(R, nU)], sm),
+                        pltpu.make_async_copy(
+                            p_any.at[:, pl.ds(d0 + h_d, T_d),
+                                     pl.ds(r0 + h_h, T_h)],
+                            sbx.at[pl.ds(P_s, nU)], sm),
+                    ]
+
+                def compute(b, d0, r0, acc):
+                    iw, pwx, sbx, sm = bufs[b]
+                    p_new = (sbx[R:R + nU]
+                             + beta * sbx[P_s:P_s + nU])
+                    sbx[pl.ds(P_s, nU)] = p_new
+                    cp = pltpu.make_async_copy(
+                        sbx.at[pl.ds(P_s, nU)],
+                        p_any.at[:, pl.ds(d0 + h_d, T_d),
+                                 pl.ds(r0 + h_h, T_h)], sm)
+                    cp.start(); cp.wait()
+                    return acc
+
+                return pair_loop(reads, compute, (jnp.float32(0.0),))
+
+            if not lm:
+                def body(carry):
+                    it, an = carry
+                    den = apply_sweep()
+                    alpha = _sdiv(an, den)
+                    (bn,) = update_sweep(alpha)
+                    beta = _sdiv(bn, an)
+                    p_sweep(beta)
+                    return it + 1, bn
+
+                jax.lax.while_loop(
+                    lambda c: c[0] < L, body, (jnp.int32(0), an0))
+                return
+
+            # ---- LM: Q/zeta exit + periodic exact residual reset ------
+            reset_apply = make_apply_sweep(scr_any)
+
+            def copy_delta():
+                """Stage delta (st Dd rows) into the scratch's centers;
+                its halo edges stay zero from the zero-initialized
+                aliased input (sweeps only ever write tile centers)."""
+                def tile(t, _):
+                    d0, r0 = coords(t)
+                    cp = pltpu.make_async_copy(
+                        st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)],
+                        sb.at[pl.ds(0, nU)], sem)
+                    cp.start(); cp.wait()
+                    cp = pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        scr_any.at[:, pl.ds(d0 + h_d, T_d),
+                                   pl.ds(r0 + h_h, T_h)], sem)
+                    cp.start(); cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+            def reset_replace():
+                """r = b - A delta per tile (the apply already ran into
+                st AP rows via reset_apply); recompute bn and qd from
+                the replaced r."""
+                def reads(b, d0, r0):
+                    iw, pwx, sbx, sm = bufs[b]
+                    return [
+                        pltpu.make_async_copy(
+                            st_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sbx.at[pl.ds(0, 3 * nU)], sm),
+                        pltpu.make_async_copy(
+                            b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                            sbx.at[pl.ds(B_s, nU)], sm),
+                    ]
+
+                def compute(b, d0, r0, acc):
+                    iw, pwx, sbx, sm = bufs[b]
+                    bn, qd = acc
+                    bt = sbx[B_s:B_s + nU]
+                    r_new = bt - sbx[AP:AP + nU]   # AP holds A delta
+                    bn = bn + jnp.sum(r_new * r_new)
+                    qd = qd + jnp.sum(sbx[Dd:Dd + nU] * (r_new + bt))
+                    sbx[pl.ds(R, nU)] = r_new
+                    cp = pltpu.make_async_copy(
+                        sbx.at[pl.ds(R, nU)],
+                        st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sm)
+                    cp.start(); cp.wait()
+                    return bn, qd
+
+                return pair_loop(
+                    reads, compute,
+                    (jnp.float32(0.0), jnp.float32(0.0)))
+
+            zero_f = jnp.float32(0.0)
+
+            def body(carry):
+                it, an, Q0, brk = carry
+                den = apply_sweep()
+                alpha = _sdiv(an, den)
+                bn, qd = update_sweep(alpha)
+
+                def reset_branch(_):
+                    # exact residual replacement (classic contract,
+                    # solverGPUGaussNewton.t:2128-2139): delta -> scr,
+                    # A delta -> st AP rows, r = b - A delta; p is NOT
+                    # recomputed (p = r + beta p_old below)
+                    copy_delta()
+                    reset_apply()
+                    return reset_replace()
+
+                do_reset = ((it + 1) % period) == 0
+                bn, qd = jax.lax.cond(
+                    do_reset, reset_branch, lambda _: (bn, qd), None)
+                beta = _sdiv(bn, an)
+                p_sweep(beta)
+                Q1 = 0.5 * qd
+                zeta = (it + 1).astype(jnp.float32) * _sdiv(Q1 - Q0, Q1)
+                return it + 1, bn, Q1, zeta < q_tol
+
+            jax.lax.while_loop(
+                lambda c: (c[0] < L) & (~c[3]), body,
+                (jnp.int32(0), an0, zero_f, jnp.asarray(False)))
+
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins A
+            pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),   # p win A
+            pltpu.VMEM((NSB, T_d, T_h, W), jnp.float32),      # state A
+            pltpu.VMEM((nIn, WIN_d, WIN_h, W), jnp.float32),  # ins B
+            pltpu.VMEM((nU, WIN_d, WIN_h, W), jnp.float32),   # p win B
+            pltpu.VMEM((NSB, T_d, T_h, W), jnp.float32),      # state B
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        haloed = jax.ShapeDtypeStruct(
+            (nU, D + 2 * h_d, H + 2 * h_h, W), jnp.float32)
+        out_shapes = (
+            jax.ShapeDtypeStruct((3 * nU, D, H, W), jnp.float32),
+            haloed,                                 # p workspace
+        ) + ((haloed,) if lm else ())               # LM reset scratch
+        aliases = {2: 1}                            # p_in -> p_any
+        if lm:
+            aliases[3] = 2                          # scr_in -> scr_any
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec, any_spec, any_spec]
+            + ([any_spec] if lm else [])
+            + [sspec, sspec]
+            + ([sspec] if lm else []),
+            out_specs=(any_spec,) * (3 if lm else 2),
+            out_shape=out_shapes,
+            input_output_aliases=aliases,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_hbm_limit_bytes("pipelined")),
+            interpret=interpret,
+        )
+
     # -- SolverConfig.pcg_backend hook --------------------------------------
 
     def as_pcg_backend(self, interpret=None):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        kern = self._build_pipelined_kernel(interpret)
+        classic = self.variant == "classic"
+        kern = (self._build_classic_kernel(interpret) if classic
+                else self._build_pipelined_kernel(interpret))
         un, cn = self.unknown_names, self.const_names
         chans = self.chans
         h_d, h_h = self.h_d, self.h_h
@@ -708,6 +1187,9 @@ class StreamSolver3D:
         nU = sum(chans[n] for n in un)
         D, H, W = self.D, self.H, self.W
         Hp, Wp = self.Hp, self.Wp
+        # delta lives in st rows [3nU:4nU] (pipelined: z|s|p|d|r) or
+        # [0:nU] (classic: d|r|ap)
+        d_off = 0 if classic else 3 * nU
 
         def pad_plane(a):
             # window halo on (D, H) plus hardware alignment pads
@@ -737,7 +1219,8 @@ class StreamSolver3D:
             b = jnp.stack(
                 [pad_hw(p) for n in un for p in planes(b_hat[n])])
             w0 = jnp.zeros(
-                (2 * nU, D + 2 * h_d, Hp + 2 * h_h, Wp), jnp.float32)
+                ((1 if classic else 2) * nU,
+                 D + 2 * h_d, Hp + 2 * h_h, Wp), jnp.float32)
             pvals = jnp.stack(
                 [jnp.asarray(data["params"][n], jnp.float32)
                  for n in pn]
@@ -749,7 +1232,11 @@ class StreamSolver3D:
                 ]).reshape(2, 1)
                 ctl_f = jnp.asarray(
                     sp["q_tolerance"], jnp.float32).reshape(1, 1)
-                st, _ = kern(ins, b, w0, pvals, ctl_i, ctl_f)
+                if classic:
+                    st = kern(ins, b, w0, jnp.zeros_like(w0), pvals,
+                              ctl_i, ctl_f)[0]
+                else:
+                    st, _ = kern(ins, b, w0, pvals, ctl_i, ctl_f)
             else:
                 ctl_i = jnp.asarray(
                     sp["lIterations"], jnp.int32).reshape(1, 1)
@@ -759,7 +1246,7 @@ class StreamSolver3D:
             for n in un:
                 c = chans[n]
                 out[n] = jnp.stack(
-                    [st[3 * nU + k + j][:, :H, :W] for j in range(c)],
+                    [st[d_off + k + j][:, :H, :W] for j in range(c)],
                     axis=-1)
                 k += c
             return out

@@ -169,6 +169,76 @@ def test_stream3d_updates_unknowns(vol_case):
     assert moved > 1e-3  # the solve actually moved the volume
 
 
+@pytest.mark.parametrize(
+    "tiles",
+    [None, (4, 8), (8, 16)],
+    ids=["auto_one_tile", "pairs_2x2", "odd_serial"],
+)
+def test_stream3d_classic_matches_xla(tiles):
+    """The classic (capacity) kernel: three sweeps/iter, 4 state
+    fields, p windows off the single haloed buffer -- the variant that
+    unlocks 384^3 (the pipelined state OOMed there,
+    docs/ROUND3_TODO.md #13).  Parity across one-tile, paired and
+    odd-serial sweeps."""
+    W, H, D = 128, 16, 8 if tiles != (8, 16) else 24
+    plan = _plan([W, H, D])
+    plan.set_solver_parameter("nIterations", 3)
+    plan.set_solver_parameter("lIterations", 20)
+    inputs = _vol_inputs(W, H, D)
+    ref = plan.solve(dict(inputs), engine="xla")
+    kw = {} if tiles is None else {"tile_d": tiles[0], "tile_h": tiles[1]}
+    eng = StreamSolver3D(plan, variant="classic", **kw)
+    assert eng.variant == "classic"
+    out = eng.solve(dict(inputs), interpret=True)
+    np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
+
+
+def test_stream3d_classic_lm_reset():
+    """LM through the classic kernel: Q/zeta exit plus the periodic
+    exact residual replacement (delta staged into the zero-edged
+    scratch, one apply pass recomputes r/bn/qd; p NOT recomputed --
+    the classic-loop reset semantics of stream_shard._shard_pcg_lm)."""
+    W, H, D = 128, 16, 8
+    plan = _plan([W, H, D], kind="LMGPU")
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 12)
+    plan.set_solver_parameter("residual_reset_period", 5)
+    inputs = _vol_inputs(W, H, D)
+    ref = plan.solve(dict(inputs), engine="xla")
+    eng = StreamSolver3D(plan, tile_d=4, tile_h=8, variant="classic")
+    assert eng.n_td * eng.n_th == 4
+    out = eng.solve(dict(inputs), interpret=True)
+    np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
+
+
+def test_stream3d_variant_pick(monkeypatch):
+    """Auto variant selection: pipelined while its 8 state fields fit
+    the HBM gate, classic past that (the 384^3 regime), ineligible when
+    even classic cannot fit; OPT_TPU_STREAM3D_VARIANT overrides."""
+    from opt_tpu.ops.stream3d import (
+        _hbm_fits3d, _pick_variant3d, supports3d as s3d)
+
+    small = _plan([128, 16, 8])
+    assert _pick_variant3d(small) == "pipelined"
+    # 384^3 (the measured pipelined OOM, 18.71 GB of 15.75 incl. the
+    # chunked outer's padded-duplicate planes): classic fits --
+    # (18+5*6+12)*384^3*4 = 12.7 GiB vs pipelined's 16.5 over the
+    # 14.17 GiB gate
+    big = _plan([384, 384, 384])
+    assert not _hbm_fits3d(big, "pipelined")
+    assert _hbm_fits3d(big, "classic")
+    assert _pick_variant3d(big) == "classic"
+    assert s3d(big)
+    eng = StreamSolver3D(big)
+    assert eng.variant == "classic"
+    # past even classic: 512^3 wants (18+30+12)*512^3*4 = 30 GiB
+    huge = _plan([512, 512, 512])
+    assert _pick_variant3d(huge) is None
+    assert not s3d(huge)
+    monkeypatch.setenv("OPT_TPU_STREAM3D_VARIANT", "classic")
+    assert _pick_variant3d(small) == "classic"
+
+
 def test_auto_engine_volumetric():
     """engine='auto' routes GN AND LM volumes >= 64^3 voxels to the
     3-D streamed engine (measured over fused XLA on v5e: GN 1.19x at
