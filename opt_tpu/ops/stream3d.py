@@ -219,15 +219,14 @@ def _hbm_fits3d(plan, variant):
         # measured-working size, not at this model's prediction
         f32_per_voxel += OUTER_F32_PER_UNKNOWN_CHANNEL * nU
     else:
-        # the strip-mined outer's ChunkedOuterFuncs._padded duplicates
-        # every plane with a window-halo'd copy: the data-image pads
-        # (nC) are loop-invariant so XLA hoists them out of the outer
-        # while loop (persistently resident -- the "~1.4 GB of
-        # duplicated padded data planes" in the measured 384^3 OOM
-        # resident list, docs/ROUND3_TODO.md #13), and the x pads (nU)
-        # are live alongside the engine state during each outer step.
-        # Without this charge the model said 384^3 pipelined fits at
-        # 13.9 GB; the compile OOMed at 18.71 of 15.75 GB.
+        # at strip-mined-outer sizes the channel-last ORIGINALS (the
+        # x and data-image arrays the user bound) stay resident at the
+        # XLA level alongside the kernel's stacked+haloed copies: data
+        # images live for the whole solve, x/delta/sq planes overlap
+        # the kernel state during each outer step.  Without this
+        # charge the model called 384^3 pipelined feasible at 13.9 GB
+        # against a measured compile OOM (18.71 of 15.75 GB with the
+        # old padded-duplicate outer; 16.74 after, still over).
         f32_per_voxel += nU + nC
     return D * Hp * Wp * 4 * f32_per_voxel <= 0.9 * HBM_BYTES
 

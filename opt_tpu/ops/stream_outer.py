@@ -14,8 +14,15 @@ exactly like the kernel streams the inner loop (and like the
 reference's per-kernel launches bound their working set,
 solverGPUGaussNewton.t PCGInit1/computeCost):
 
-* inputs are zero-padded by the stencil radius (matching shift_read's
-  boundary zero-fill) and sliced into (S + 2r)-row windows;
+* windows of (S + 2r) rows are sliced STRAIGHT OFF the unpadded
+  arrays with a clamped dynamic-slice start; the two boundary strips
+  roll the clamp shift away and mask out-of-grid rows to zero
+  (matching shift_read's boundary zero-fill).  No whole-grid padded
+  copy is ever made: the earlier zero-pad-then-slice plumbing kept
+  nU+nC whole-volume padded DUPLICATES alive (XLA hoists the
+  loop-invariant data-image pads out of the outer while loop), which
+  is what pushed 384^3 classic past HBM (measured 16.74 of 15.75 GB,
+  six hoisted 217 MB pads in the allocation list);
 * each window evaluates through a window-shaped ProblemFunctions with
   ``real_shapes`` = the logical grid and traced ``coord_offsets``, so
   InBounds / Index / real-domain tests use GLOBAL coordinates (the same
@@ -23,7 +30,7 @@ solverGPUGaussNewton.t PCGInit1/computeCost):
 * per-term quantities are masked to the strip's CENTER rows before any
   reduction or adjoint, so every term is counted exactly once; adjoint
   row spill (reach <= radius) stays inside the window and overlapping
-  windows accumulate into a padded full-grid buffer sequentially.
+  windows accumulate into an unpadded full-grid buffer sequentially.
 
 The result is a drop-in for the ProblemFunctions surface that
 solver/core.make_solver touches on the matrix-free + pcg_backend path
@@ -148,6 +155,11 @@ class ChunkedOuterFuncs:
         S = strip or _pick_strip(
             self.H, self.r, STRIP_TARGET_ELEMS // rest_elems)
         assert self.H % S == 0 and S >= max(self.r, 1), (S, self.H, self.r)
+        # Clamped window reads need the window to fit the slice space.
+        # At real chunked-outer sizes S + 2r << H and this is 0; tiny
+        # grids (tests, forced strips) bottom-pad each plane by the
+        # shortfall so the clamp math stays uniform.
+        self._bot_pad = max(0, S + 2 * self.r - self.H)
         self.S = S
         self.n_strips = self.H // S
 
@@ -183,33 +195,56 @@ class ChunkedOuterFuncs:
     # -- strip plumbing ---------------------------------------------------
     #
     # Every full-height array in the strip path is a CHANNEL PLANE
-    # (H+2r, W): on v5e, channel-last (H, W, 1) carries through the
+    # (H, W): on v5e, channel-last (H, W, 1) carries through the
     # strided-slice/update loop got assigned layout {2,1,0} (channel
     # minor-most), whose (8,128) tiling pads the degenerate dim 1->128
     # -- a single 8192^2 plane then wants 32 GiB and the compile OOMs.
     # Planes sidestep the trap; windows re-stack channel-last per strip
     # (small: (S+2r, W, C)) for the evaluator.
+    #
+    # Window reads are CLAMPED slices off the unpadded planes: the
+    # wanted rows are [g0-r, g0+S+r); the dynamic-slice start clamps
+    # to [0, H-rows], and the residual shift (nonzero only for the
+    # first/last strips) is rolled away with out-of-grid rows masked
+    # to zero.  Interior strips take the slice verbatim (shift 0, the
+    # roll/mask fuse to a copy/no-op); nothing whole-grid is ever
+    # duplicated.
 
-    def _pad_planes(self, arr):
-        r = self.r
-        pad = ((r, r),) + ((0, 0),) * (arr.ndim - 2)
-        return [
-            jnp.pad(arr[..., c], pad) for c in range(arr.shape[-1])
-        ]
+    def _planes(self, arr):
+        return [arr[..., c] for c in range(arr.shape[-1])]
 
-    def _padded(self, x, data):
-        xp = {n: self._pad_planes(v) for n, v in x.items()}
-        dp = {n: self._pad_planes(v) for n, v in data["images"].items()}
+    def _split(self, x, data):
+        xp = {n: self._planes(v) for n, v in x.items()}
+        dp = {n: self._planes(v) for n, v in data["images"].items()}
         return xp, dp
 
-    def _window(self, planes, g0):
-        """Rows [g0-r, g0+S+r) of the grid == rows [g0, g0+S+2r) of the
-        padded planes (g0 traced), re-stacked channel-last."""
+    def _win_coords(self, g0):
         rows = self.S + 2 * self.r
+        start = g0 - self.r
+        s0 = jnp.clip(start, 0, self.H + self._bot_pad - rows)
+        return rows, start, s0, start - s0   # shift in [-r, r]
+
+    def _bpad(self, p):
+        if not self._bot_pad:
+            return p
+        return jnp.pad(
+            p, ((0, self._bot_pad),) + ((0, 0),) * (p.ndim - 1)
+        )
+
+    def _window_plane(self, p, g0):
+        """Rows [g0-r, g0+S+r) of the grid, zero-filled outside it."""
+        rows, start, s0, shift = self._win_coords(g0)
+        w = jax.lax.dynamic_slice_in_dim(self._bpad(p), s0, rows, axis=0)
+        w = jnp.roll(w, -shift, axis=0)
+        gi = jnp.arange(rows) + start
+        valid = (gi >= 0) & (gi < self.H)
+        return jnp.where(
+            valid.reshape((-1,) + (1,) * (p.ndim - 1)), w, 0
+        )
+
+    def _window(self, planes, g0):
         return jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(p, g0, rows, axis=0)
-             for p in planes],
-            axis=-1,
+            [self._window_plane(p, g0) for p in planes], axis=-1
         )
 
     def _windows(self, xp, dp, data, g0):
@@ -224,14 +259,24 @@ class ChunkedOuterFuncs:
         return xw, dw
 
     def _acc_add(self, plane, g0, upd):
-        """plane[g0 : g0+S+2r] += upd (sequential strips make the
-        overlapping read-modify-write exact)."""
-        win = jax.lax.dynamic_slice_in_dim(
-            plane, g0, self.S + 2 * self.r, axis=0
+        """plane[grid rows of the window] += upd, on the UNPADDED
+        (H, *rest) accumulator plane (sequential strips make the
+        overlapping read-modify-write exact).  upd is in window
+        coords (row i = grid row g0-r+i); rolling by the clamp shift
+        re-aligns it to the clamped slice, and the wrap mask drops
+        both the wrapped entries and the adjoint spill into
+        out-of-grid rows (reach <= r, so it never passes the clamp)."""
+        rows, start, s0, shift = self._win_coords(g0)
+        upd = jnp.roll(upd, shift, axis=0)
+        src = jnp.arange(rows) - shift
+        valid = (src >= 0) & (src < rows)
+        upd = jnp.where(
+            valid.reshape((-1,) + (1,) * (upd.ndim - 1)), upd, 0
         )
+        win = jax.lax.dynamic_slice_in_dim(plane, s0, rows, axis=0)
         return jax.lax.dynamic_update_slice_in_dim(
-            plane, win + upd, g0, axis=0
-        )
+            plane, win + upd, s0, axis=0
+        )   # rows landing in the bottom pad are sliced off at the end
 
     def _center_zero(self, f):
         """Zero non-center strip rows of a (C, rows, *rest) stacked
@@ -248,7 +293,7 @@ class ChunkedOuterFuncs:
     # -- cost -------------------------------------------------------------
 
     def cost(self, x, data):
-        xp, dp = self._padded(x, data)
+        xp, dp = self._split(x, data)
         wf = self.wfuncs
 
         def body(g0, total):
@@ -272,12 +317,13 @@ class ChunkedOuterFuncs:
 
     def jtf(self, r0_token, jt):
         x, data = r0_token
-        xp, dp = self._padded(x, data)
+        xp, dp = self._split(x, data)
         wf = self.wfuncs
-        r = self.r
         acc = {
             n: [
-                jnp.zeros((self.H + 2 * r,) + self.rest, self.dtype)
+                jnp.zeros(
+                    (self.H + self._bot_pad,) + self.rest, self.dtype
+                )
                 for _ in range(s[-1])
             ]
             for n, s in self.unknown_shapes.items()
@@ -300,19 +346,21 @@ class ChunkedOuterFuncs:
 
         acc = self._foreach_strip(body, acc)
         return {
-            n: jnp.stack([p[r : r + self.H] for p in chans], axis=-1)
+            n: jnp.stack([p[: self.H] for p in chans], axis=-1)
             for n, chans in acc.items()
         }
 
     # -- diag(JtJ) --------------------------------------------------------
 
     def diag_jtj(self, x, data):
-        xp, dp = self._padded(x, data)
+        xp, dp = self._split(x, data)
         wf = self.wfuncs
         r = self.r
         acc = {
             n: [
-                jnp.zeros((self.H + 2 * r,) + s[1:-1], self.dtype)
+                jnp.zeros(
+                    (self.H + self._bot_pad,) + s[1:-1], self.dtype
+                )
                 for _ in range(s[-1])
             ]
             for n, s in self.unknown_shapes.items()
@@ -348,15 +396,15 @@ class ChunkedOuterFuncs:
 
         acc = self._foreach_strip(body, acc)
         return {
-            n: jnp.stack([p[r : r + self.H] for p in chans], axis=-1)
+            n: jnp.stack([p[: self.H] for p in chans], axis=-1)
             for n, chans in acc.items()
         }
 
     # -- LM model cost ----------------------------------------------------
 
     def model_cost(self, r0_token, jvp_fn, delta, x, data):
-        xp, dp = self._padded(x, data)
-        deltap = {n: self._pad_planes(v) for n, v in delta.items()}
+        xp, dp = self._split(x, data)
+        deltap = {n: self._planes(v) for n, v in delta.items()}
         wf = self.wfuncs
 
         def body(g0, total):

@@ -151,7 +151,7 @@ def test_chunked_outer_3d_matches_funcs():
     # scalar costs then differ only by f32 reduction order)
     whole_f = np.asarray(jax.tree_util.tree_leaves(
         bf.residual_fields(x, data, masked=True))[0])
-    xp, dp = cf._padded(x, data)
+    xp, dp = cf._split(x, data)
     for s in range(cf.n_strips):
         g0 = s * cf.S
         xw, dw = cf._windows(xp, dp, data, g0)
