@@ -130,6 +130,7 @@ class SolverConfig:
         pcg_variant="classic",
         psum_axis=None,
         pcg_backend=None,
+        pcg_prepare=None,
     ):
         assert guarded_invert_type in GUARDED_INVERT_TYPES
         assert jacobi_scaling in JACOBI_SCALING_TYPES
@@ -150,6 +151,17 @@ class SolverConfig:
         # every OUTER-iteration decision (trust region, accept/reject,
         # cost bookkeeping) stays in this module.
         self.pcg_backend = pcg_backend
+        # optional loop-invariant companion to pcg_backend:
+        #   pcg_prepare(data) -> prepared
+        # called ONCE outside the outer while loop (solve_fn /
+        # full_solve_fn); `prepared` is threaded into every
+        # pcg_backend(x, data, sq, scs, b_hat, sp, prepared=...) call.
+        # Used by the streamed engines to hoist the const-image plane
+        # restack out of the loop body: at 384^3 the per-iteration
+        # (nIn, D+2h, Hp+2h, Wp) ins stack was a 4.0 GB HLO temp and the
+        # const relayout copies another ~1.3 GB -- 47.5% allocator
+        # fragmentation and a compile OOM (17.37 of 15.75 GB measured)
+        self.pcg_prepare = pcg_prepare
         # mesh axis name for cross-device reductions: set by the explicit
         # shard_map halo path (parallel/halo.py) so the 5 PCG scalars and
         # the cost psum over the mesh (everything else stays local)
@@ -376,8 +388,14 @@ def make_solver(funcs, config: SolverConfig):
         out = jax.lax.while_loop(cond, body, carry0)
         return out["delta"]
 
-    def step_fn(state, data, sp):
-        """One nonlinear (outer) iteration; solverGPUGaussNewton.t:1913-2349."""
+    def step_fn(state, data, sp, prepared=None):
+        """One nonlinear (outer) iteration; solverGPUGaussNewton.t:1913-2349.
+
+        `prepared` is the loop-invariant pcg_prepare(data) product when
+        the caller hoisted it (solve_fn); standalone step calls (the
+        profiled decomposition) recompute it here."""
+        if config.pcg_prepare is not None and prepared is None:
+            prepared = config.pcg_prepare(data)
         x = state["x"]
         masks = funcs.unknown_masks(x, data)
 
@@ -472,7 +490,11 @@ def make_solver(funcs, config: SolverConfig):
             )
             b_hat = tmap(jnp.multiply, sq, b)
             with scope("pcg_backend"):
-                d_hat = config.pcg_backend(x, data, sq, scs, b_hat, sp)
+                if config.pcg_prepare is not None:
+                    d_hat = config.pcg_backend(
+                        x, data, sq, scs, b_hat, sp, prepared=prepared)
+                else:
+                    d_hat = config.pcg_backend(x, data, sq, scs, b_hat, sp)
             delta = tmap(jnp.multiply, sq, d_hat)
         else:
             with scope("pcg_loop"):
@@ -556,12 +578,16 @@ def make_solver(funcs, config: SolverConfig):
     def solve_fn(state, data, sp):
         """Whole solve on device: while n_iter < nIterations and not done."""
         n_max = jnp.asarray(sp["nIterations"], jnp.int32)
+        # loop-invariant backend prep hoisted OUT of the while body (one
+        # materialization for the whole solve; see SolverConfig.pcg_prepare)
+        prepared = (config.pcg_prepare(data)
+                    if config.pcg_prepare is not None else None)
 
         def cond(s):
             return (s["n_iter"] < n_max) & (~s["done"])
 
         def body(s):
-            return step_fn(s, data, sp)
+            return step_fn(s, data, sp, prepared=prepared)
 
         return jax.lax.while_loop(cond, body, state)
 
