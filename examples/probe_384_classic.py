@@ -42,6 +42,10 @@ cfg = SolverConfig(
     jacobi_scaling=base.jacobi_scaling,
     pcg_variant="classic",
     pcg_backend=eng.as_pcg_backend(False),
+    # match StreamSolver3D.solve exactly: without pcg_prepare the
+    # backend re-stacks the padded const planes inside the outer while
+    # body, a DIFFERENT (bigger) program than the production solve
+    pcg_prepare=eng.as_pcg_prepare(),
 )
 funcs = ChunkedOuterFuncs(plan) if chunked else plan.funcs
 fns = make_solver(funcs, cfg)

@@ -895,9 +895,13 @@ class Plan:
         mesh: optional jax.sharding.Mesh -- the batch axis is sharded
         across every mesh axis (data-parallel serving: each device
         solves its share of problems with no cross-chip communication).
-        N must be a multiple of the mesh size.  With a mesh the batched
-        path is always used (the guardrail threshold then applies
-        per-device).
+        N must be a multiple of the mesh size.  With a mesh the
+        guardrail applies to the PER-DEVICE share (N/mesh-size x
+        pixels): the losing regime is per-chip VMEM residency, so
+        sharding N ways buys N x more headroom.  A batch whose
+        per-device share still exceeds the threshold falls back to the
+        sequential solo loop (on the default device -- the mesh is not
+        used there); force mode="batched" to override.
 
         Graph problems batch in take-mode (gathers/segment_sums vmap
         over per-lane edge indices, so lanes may have DIFFERENT
@@ -916,10 +920,13 @@ class Plan:
         sp["nIterations"] = jnp.asarray(
             int(self.solver_params["nIterations"]), jnp.int32
         )
-        if mode == "auto" and mesh is None and self.spec.images:
+        if mode == "auto" and self.spec.images:
             px = int(np.prod(
                 next(iter(self.spec.images.values())).ispace.shape))
-            if len(inputs_list) * px > SOLVE_MANY_AUTO_MAX_PIXELS:
+            n_dev = (int(np.prod(list(mesh.shape.values())))
+                     if mesh is not None else 1)
+            per_dev = -(-len(inputs_list) // n_dev)
+            if per_dev * px > SOLVE_MANY_AUTO_MAX_PIXELS:
                 mode = "solo"
         if mode == "solo":
             stack = lambda *ls: jnp.stack([jnp.asarray(l) for l in ls])

@@ -47,6 +47,21 @@ def test_pick_large_volume_stream3d():
     assert pick_sharded_engine(small, _mesh1d()) == "gspmd"
 
 
+def test_pick_2d_mesh_falls_back_gspmd():
+    """The streamed shard engines slab over ONE mesh axis
+    (stream_shard.supports/supports3d require mesh.devices.ndim == 1);
+    a 2-D mesh at streamed-crossover sizes must auto-route to GSPMD --
+    the documented fallback (GUIDE §8), not a silent error."""
+    from opt_tpu.parallel import mesh as pmesh
+
+    m2 = pmesh.make_mesh(8, shape=(2, 4))
+    plan = _plan(energies.image_warping, [2048, 8 * 2048])
+    assert pick_sharded_engine(plan, m2) == "gspmd"
+    energy = energies.ALL_ENERGIES["volumetric_mesh_deformation"]
+    vol = _plan(energy, [128, 64, 8 * 32])
+    assert pick_sharded_engine(vol, m2) == "gspmd"
+
+
 def test_pick_graph_gspmd():
     plan = _plan(arap_graph_energy, [16, 32])
     assert pick_sharded_engine(plan, _mesh1d()) == "gspmd"
