@@ -70,6 +70,28 @@ def time_engine(eng, inputs, reps=2, donate=False):
     import jax
     import jax.numpy as jnp
 
+    if donate:
+        # capacity-bound sizes: EVERY solve (warmup included) donates
+        # its own freshly-uploaded inputs and drops the previous
+        # outputs first -- at 384^3 the non-donated warmup held a
+        # defensive 2.53 GB input copy alongside the program and the
+        # run OOM'd (RESOURCE_EXHAUSTED) even though the compile fit
+        def fresh(rep):
+            d = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                     else v) for k, v in inputs.items()}
+            d["Offset"] = d["Offset"] + np.float32(rep * 1e-6)
+            jax.block_until_ready(d["Offset"])
+            return d
+
+        out = eng.solve(fresh(0), donate_inputs=True)  # warmup+compile
+        cost = out["final_cost"]
+        del out  # release the 1.27 GB solution before re-uploading
+        di = fresh(1)
+        t0 = time.perf_counter()
+        out = eng.solve(di, donate_inputs=True)
+        ms = (time.perf_counter() - t0) * 1e3
+        return ms, cost
+
     dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
            for k, v in inputs.items()}
     out = eng.solve(dict(dev))           # warmup + compile
@@ -80,10 +102,8 @@ def time_engine(eng, inputs, reps=2, donate=False):
         di["Offset"] = dev["Offset"] + np.float32(rep * 1e-6)
         jax.block_until_ready(di["Offset"])
         t0 = time.perf_counter()
-        out = eng.solve(di, donate_inputs=donate)
+        out = eng.solve(di)
         times.append((time.perf_counter() - t0) * 1e3)
-        if donate:
-            break  # donated inputs are consumed; one timed rep
     return min(times), cost
 
 

@@ -43,7 +43,10 @@ TWO PCG kernels share the tile grid and evaluator (_apply_tile):
   whole-volume fields = ~5.4 GB at 384^3 for the 6-channel volumetric
   ARAP, which is exactly what the pipelined variant OOMed by
   (docs/ROUND3_TODO.md #13); it unlocks 384^3 at the cost of two extra
-  reduction barriers per iteration.
+  reduction barriers per iteration.  PROVEN on hardware round 5: 8x100
+  GN in 41.1 s, final cost 270.733 (docs/sweep_tpu_r5.csv), after the
+  r5 HBM diet (per-array packing, b aliased into st, in-kernel delta
+  descale, donate-every-solve -- see ROOFLINE.md "384^3 runs").
 
 Same hat-space math as the 2-D engine: PCG runs on
 A_hat = S (JtJ) S with S = sqrt(guarded_invert(diag JtJ)), excluded
@@ -236,7 +239,8 @@ def _pick_variant3d(plan):
     hat-space state fields fit HBM; 'classic' (three sweeps/iter, 4
     state fields, no w ping-pong) past that -- the capacity variant
     that unlocks 384^3 (pipelined OOMed at compile: 18.71 GB wanted of
-    15.75, docs/ROUND3_TODO.md #13).  OPT_TPU_STREAM3D_VARIANT
+    15.75, docs/ROUND3_TODO.md #13; classic measured 41.1 s for 8x100
+    GN at 384^3, docs/sweep_tpu_r5.csv).  OPT_TPU_STREAM3D_VARIANT
     overrides."""
     env = _os.environ.get("OPT_TPU_STREAM3D_VARIANT")
     if env in ("pipelined", "classic"):
@@ -676,6 +680,37 @@ class StreamSolver3D:
             init_sweep = make_sweep("init")
             iter_sweep = make_sweep("iter")
 
+            # final descale d *= sq at tile centers (see the classic
+            # kernel's descale: lets the caller never touch ins/sq
+            # after the kernel)
+            def descale():
+                def tile(t, _):
+                    d0, r0 = coords(t)
+                    cps = [
+                        pltpu.make_async_copy(
+                            st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                      pl.ds(r0, T_h)],
+                            sb.at[pl.ds(0, nU)], sem),
+                        pltpu.make_async_copy(
+                            ins_any.at[pl.ds(nU, nU),
+                                       pl.ds(d0 + h_d, T_d),
+                                       pl.ds(r0 + h_h, T_h)],
+                            sb.at[pl.ds(nU, nU)], sem),
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    sb[pl.ds(0, nU)] = sb[0:nU] * sb[nU:2 * nU]
+                    cp = pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem)
+                    cp.start(); cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, tile, 0)
+
             # prologue: w_0 = A_hat r_0 -> slot 1, dd_0 = <w_0, r_0>
             _, dd0 = init_sweep(0, nU, jnp.float32(0.0), jnp.float32(0.0))
 
@@ -699,6 +734,7 @@ class StreamSolver3D:
                     (jnp.int32(0), gamma0, dd0, zero_f,
                      jnp.float32(1.0)),
                 )
+                descale()
                 return
 
             reset_r_sweep = make_sweep("reset_r")
@@ -766,6 +802,7 @@ class StreamSolver3D:
                 (jnp.int32(0), gamma0, dd0, zero_f, jnp.float32(1.0),
                  zero_f, jnp.asarray(False), jnp.int32(0)),
             )
+            descale()
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -860,10 +897,13 @@ class StreamSolver3D:
                  st_any, p_any, scr_any,
                  insw, pw, sb, insw2, pw2, sb2, sem, sem2) = rl
             else:
-                (b_any, p_in, pref, ctl_i,
+                # GN: no separate b input -- b arrives pre-placed in
+                # the aliased st input's R rows (zeros | b | zeros)
+                (st_in, p_in, pref, ctl_i,
                  st_any, p_any,
                  insw, pw, sb, insw2, pw2, sb2, sem, sem2) = rl
-                ctl_f = scr_any = None
+                ctl_f = scr_any = b_any = None
+                del st_in  # aliased to st_any
             del p_in  # aliased to p_any
             params = {name: pref[k, 0] for k, name in enumerate(pn)}
             L = ctl_i[0, 0]
@@ -918,42 +958,63 @@ class StreamSolver3D:
                 return acc
 
             # ---- staging: p center = b, st D = 0, R = b; an0 = <b,b> --
-            sb[pl.ds(0, nU)] = jnp.zeros((nU, T_d, T_h, W), jnp.float32)
+            if lm:
+                sb[pl.ds(0, nU)] = jnp.zeros(
+                    (nU, T_d, T_h, W), jnp.float32)
 
-            def stage(t, an):
-                d0, r0 = coords(t)
-                cp = pltpu.make_async_copy(
-                    b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
-                    sb.at[pl.ds(R, nU)], sem)
-                cp.start(); cp.wait()
-                v = sb[R:R + nU]
-                an = an + jnp.sum(v * v)
-                cps = [
-                    pltpu.make_async_copy(
-                        sb.at[pl.ds(R, nU)],
+                def stage(t, an):
+                    d0, r0 = coords(t)
+                    cp = pltpu.make_async_copy(
+                        b_any.at[:, pl.ds(d0, T_d), pl.ds(r0, T_h)],
+                        sb.at[pl.ds(R, nU)], sem)
+                    cp.start(); cp.wait()
+                    v = sb[R:R + nU]
+                    an = an + jnp.sum(v * v)
+                    cps = [
+                        pltpu.make_async_copy(
+                            sb.at[pl.ds(R, nU)],
+                            st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
+                                      pl.ds(r0, T_h)], sem),
+                        pltpu.make_async_copy(
+                            sb.at[pl.ds(R, nU)],
+                            p_any.at[:, pl.ds(d0 + h_d, T_d),
+                                     pl.ds(r0 + h_h, T_h)], sem),
+                        pltpu.make_async_copy(
+                            sb.at[pl.ds(0, nU)],
+                            st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                      pl.ds(r0, T_h)], sem),
+                        # AP rows zeroed too: sweep A overwrites them,
+                        # but uninitialized output rows would leak
+                        # garbage if L == 0
+                        pltpu.make_async_copy(
+                            sb.at[pl.ds(0, nU)],
+                            st_any.at[pl.ds(AP, nU), pl.ds(d0, T_d),
+                                      pl.ds(r0, T_h)], sem),
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    return an
+            else:
+                # GN: d/ap rows arrive pre-zeroed and r rows = b via
+                # the aliased st input -- stage only seeds the p
+                # workspace centers and accumulates an0 = <b, b>
+                def stage(t, an):
+                    d0, r0 = coords(t)
+                    cp = pltpu.make_async_copy(
                         st_any.at[pl.ds(R, nU), pl.ds(d0, T_d),
-                                  pl.ds(r0, T_h)], sem),
-                    pltpu.make_async_copy(
+                                  pl.ds(r0, T_h)],
+                        sb.at[pl.ds(R, nU)], sem)
+                    cp.start(); cp.wait()
+                    v = sb[R:R + nU]
+                    an = an + jnp.sum(v * v)
+                    cp = pltpu.make_async_copy(
                         sb.at[pl.ds(R, nU)],
                         p_any.at[:, pl.ds(d0 + h_d, T_d),
-                                 pl.ds(r0 + h_h, T_h)], sem),
-                    pltpu.make_async_copy(
-                        sb.at[pl.ds(0, nU)],
-                        st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
-                                  pl.ds(r0, T_h)], sem),
-                    # AP rows zeroed too: sweep A overwrites them, but
-                    # uninitialized output rows would leak garbage if
-                    # L == 0
-                    pltpu.make_async_copy(
-                        sb.at[pl.ds(0, nU)],
-                        st_any.at[pl.ds(AP, nU), pl.ds(d0, T_d),
-                                  pl.ds(r0, T_h)], sem),
-                ]
-                for cp in cps:
-                    cp.start()
-                for cp in cps:
-                    cp.wait()
-                return an
+                                 pl.ds(r0 + h_h, T_h)], sem)
+                    cp.start(); cp.wait()
+                    return an
 
             an0 = jax.lax.fori_loop(0, n_tiles, stage, jnp.float32(0.0))
 
@@ -1074,6 +1135,40 @@ class StreamSolver3D:
 
                 return pair_loop(reads, compute, (jnp.float32(0.0),))
 
+            # ---- final descale: d *= sq (tile centers) ----------------
+            # delta leaves the kernel already un-scaled (delta = sq *
+            # d_hat), so the caller never touches ins/sq again after the
+            # kernel -- post-kernel sq slices materialized six 216 MB
+            # planes at 384^3 and kept ins alive past the kernel (the r5
+            # probe's residual OOM driver)
+            def descale():
+                def tile(t, _):
+                    d0, r0 = coords(t)
+                    cps = [
+                        pltpu.make_async_copy(
+                            st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                      pl.ds(r0, T_h)],
+                            sb.at[pl.ds(0, nU)], sem),
+                        pltpu.make_async_copy(
+                            ins_any.at[pl.ds(nU, nU),
+                                       pl.ds(d0 + h_d, T_d),
+                                       pl.ds(r0 + h_h, T_h)],
+                            sb.at[pl.ds(R, nU)], sem),
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    sb[pl.ds(0, nU)] = sb[0:nU] * sb[R:R + nU]
+                    cp = pltpu.make_async_copy(
+                        sb.at[pl.ds(0, nU)],
+                        st_any.at[pl.ds(Dd, nU), pl.ds(d0, T_d),
+                                  pl.ds(r0, T_h)], sem)
+                    cp.start(); cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, tile, 0)
+
             if not lm:
                 def body(carry):
                     it, an = carry
@@ -1086,6 +1181,7 @@ class StreamSolver3D:
 
                 jax.lax.while_loop(
                     lambda c: c[0] < L, body, (jnp.int32(0), an0))
+                descale()
                 return
 
             # ---- LM: Q/zeta exit + periodic exact residual reset ------
@@ -1174,6 +1270,7 @@ class StreamSolver3D:
             jax.lax.while_loop(
                 lambda c: (c[0] < L) & (~c[3]), body,
                 (jnp.int32(0), an0, zero_f, jnp.asarray(False)))
+            descale()
 
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1197,6 +1294,8 @@ class StreamSolver3D:
         aliases = {2 + ci: 1}                       # p_in -> p_any
         if lm:
             aliases[3 + ci] = 2                     # scr_in -> scr_any
+        else:
+            aliases[1 + ci] = 0                     # st_in -> st_any
         return pl.pallas_call(
             kernel,
             in_specs=[any_spec] + ([any_spec] if nC else [])
@@ -1232,16 +1331,12 @@ class StreamSolver3D:
         # [0:nU] (classic: d|r|ap)
         d_off = 0 if classic else 3 * nU
 
-        def pad_plane(a):
-            # window halo on (D, H) plus hardware alignment pads
-            return jnp.pad(a, ((h_d, h_d), (h_h, h_h + Hp - H),
-                               (0, Wp - W)))
+        pack = self._pad_haloed_stack
 
-        def pad_hw(a):
-            return jnp.pad(a, ((0, 0), (0, Hp - H), (0, Wp - W)))
-
-        def planes(arr):
-            return [arr[..., c] for c in range(arr.shape[-1])]
+        def pack_hw(a):
+            # (D, H, W, C) -> (C, D, Hp, Wp): alignment pads only
+            return jnp.pad(jnp.moveaxis(a, -1, 0),
+                           ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
 
         lm = self.plan.config.uses_lambda
 
@@ -1253,19 +1348,21 @@ class StreamSolver3D:
         prepare = self.as_pcg_prepare()
 
         def backend(x, data, sq, scs, b_hat, sp, prepared=None):
-            stack = []
-            for n in un:
-                stack += [pad_plane(p) for p in planes(x[n])]
-            for n in un:
-                stack += [pad_plane(p) for p in planes(sq[n])]
+            # one moveaxis+pad per ARRAY, not one squeeze+pad per
+            # channel: the per-channel path materialized twelve 216 MB
+            # single-plane temps at 384^3 (measured in the r5 compile
+            # probe: 17.37 of 15.75 GB, 52.2% fragmentation OOM)
+            parts = [pack(x[n]) for n in un] + [pack(sq[n]) for n in un]
             if lm:
-                for n in un:
-                    stack += [pad_plane(p) for p in planes(scs[n])]
-            ins = jnp.stack(stack)
+                parts += [pack(scs[n]) for n in un]
+            ins = jnp.concatenate(parts, axis=0)
             cins = prepared if prepared is not None else prepare(data)
             cargs = [cins] if cins is not None else []
-            b = jnp.stack(
-                [pad_hw(p) for n in un for p in planes(b_hat[n])])
+            # b_hat = sq * b fused into the pack (takes_raw_b): the
+            # multiply joins the concat/pad fusion instead of
+            # materializing a standalone whole-volume b_hat pytree
+            b = jnp.concatenate(
+                [pack_hw(sq[n] * b_hat[n]) for n in un], axis=0)
             w0 = jnp.zeros(
                 ((1 if classic else 2) * nU,
                  D + 2 * h_d, Hp + 2 * h_h, Wp), jnp.float32)
@@ -1289,38 +1386,57 @@ class StreamSolver3D:
             else:
                 ctl_i = jnp.asarray(
                     sp["lIterations"], jnp.int32).reshape(1, 1)
-                st, _ = kern(ins, *cargs, b, w0, pvals, ctl_i)
+                if classic:
+                    # GN classic: b rides INSIDE the aliased st input
+                    # (zeros | b | zeros = the d | r | ap init) -- the
+                    # kernel reads r0 = b in place, so no separate b
+                    # buffer exists (1.27 GB at 384^3, r5 HBM diet)
+                    st0 = jnp.pad(b, ((nU, nU),) + ((0, 0),) * 3)
+                    st, _ = kern(ins, *cargs, st0, w0, pvals, ctl_i)
+                else:
+                    st, _ = kern(ins, *cargs, b, w0, pvals, ctl_i)
+            # st d rows already hold delta = sq * d_hat (the kernels'
+            # final descale sweep reads sq off their own ins rows), so
+            # the standalone sq pytree dies before the kernel launches
+            # AND ins dies at kernel end -- no post-kernel sq slices
+            # (six 216 MB planes at 384^3; see solver/core's
+            # returns_delta branch)
             out = {}
             k = 0
             for n in un:
                 c = chans[n]
-                out[n] = jnp.stack(
-                    [st[d_off + k + j][:, :H, :W] for j in range(c)],
-                    axis=-1)
+                out[n] = jnp.moveaxis(
+                    st[d_off + k:d_off + k + c, :, :H, :W], 0, -1)
                 k += c
             return out
 
+        backend.returns_delta = True
+        backend.takes_raw_b = True
         return backend
+
+    def _pad_haloed_stack(self, a):
+        """(D, H, W, C) -> (C, D+2h_d, Hp+2h_h, Wp): window halo on
+        (D, H) plus hardware alignment pads, one transpose + one pad
+        per ARRAY.  Shared by as_pcg_backend (dyn planes) and
+        as_pcg_prepare (const planes): the two stacks MUST pad
+        identically for the per-tile DMAs to read matching voxels."""
+        return jnp.pad(jnp.moveaxis(a, -1, 0),
+                       ((0, 0), (self.h_d, self.h_d),
+                        (self.h_h, self.h_h + self.Hp - self.H),
+                        (0, self.Wp - self.W)))
 
     def as_pcg_prepare(self):
         """SolverConfig.pcg_prepare companion to as_pcg_backend: the
         loop-invariant const-plane stack, materialized once per solve
         outside the outer while loop."""
         cn = self.const_names
-        h_d, h_h = self.h_d, self.h_h
-        H, W = self.H, self.W
-        Hp, Wp = self.Hp, self.Wp
-
-        def pad_plane(a):
-            return jnp.pad(a, ((h_d, h_d), (h_h, h_h + Hp - H),
-                               (0, Wp - W)))
+        pack = self._pad_haloed_stack
 
         def prepare(data):
             if not cn:
                 return None
-            return jnp.stack([
-                pad_plane(data["images"][n][..., c]) for n in cn
-                for c in range(self.chans[n])])
+            return jnp.concatenate(
+                [pack(data["images"][n]) for n in cn], axis=0)
 
         return prepare
 

@@ -488,14 +488,29 @@ def make_solver(funcs, config: SolverConfig):
                 tmap(lambda s, c: s * s * c, sq, ctc)
                 if uses_lambda else None
             )
-            b_hat = tmap(jnp.multiply, sq, b)
+            if getattr(config.pcg_backend, "takes_raw_b", False):
+                # capacity engines fuse the sq*b hat-scaling into their
+                # kernel-input pack, so no standalone b_hat pytree is
+                # ever materialized (nU whole-volume channels: 1.27 GB
+                # at 384^3 -- the r5 classic-kernel HBM diet)
+                b_hat = b
+            else:
+                b_hat = tmap(jnp.multiply, sq, b)
             with scope("pcg_backend"):
                 if config.pcg_prepare is not None:
                     d_hat = config.pcg_backend(
                         x, data, sq, scs, b_hat, sp, prepared=prepared)
                 else:
                     d_hat = config.pcg_backend(x, data, sq, scs, b_hat, sp)
-            delta = tmap(jnp.multiply, sq, d_hat)
+            if getattr(config.pcg_backend, "returns_delta", False):
+                # capacity engines un-scale delta themselves from the sq
+                # planes already packed in their kernel input, so the
+                # standalone sq pytree dies BEFORE the kernel launches
+                # (nU whole-volume channels: 1.27 GB at 384^3 -- part of
+                # the r5 classic-kernel HBM diet)
+                delta = d_hat
+            else:
+                delta = tmap(jnp.multiply, sq, d_hat)
         else:
             with scope("pcg_loop"):
                 delta = pcg_loop(A, pre, r, b, sp, masks_apply)

@@ -193,6 +193,46 @@ def test_stream3d_classic_matches_xla(tiles):
     np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
 
 
+def _noconst_energy(O):
+    """3-D energy with NO const images (nC==0): fit-to-constant plus
+    forward-difference smoothness on one unknown.  Covers the stream3d
+    backend's no-cins path (alias index 2, dyn copy split into two
+    DMAs) that every volumetric_mesh_deformation case misses."""
+    W, H, D = O.Dim("W", 0), O.Dim("H", 1), O.Dim("D", 2)
+    X = O.Unknown("X", O.opt_float3, (W, H, D), 0)
+    w_fitSqrt = O.Param("w_fitSqrt", 1)
+    w_regSqrt = O.Param("w_regSqrt", 2)
+    O.UsePreconditioner(True)
+    O.Energy(w_fitSqrt * (X(0, 0, 0) - 0.5))
+    for i, j, k in O.Stencil([(1, 0, 0), (0, 1, 0), (0, 0, 1)]):
+        d = X(0, 0, 0) - X(i, j, k)
+        O.Energy(w_regSqrt * O.Select(O.InBounds(i, j, k), d, 0.0))
+
+
+@pytest.mark.parametrize("variant", ["pipelined", "classic"])
+def test_stream3d_no_const_images(variant):
+    """nC==0 parity in interpret mode on both kernel variants."""
+    W, H, D = 128, 16, 8
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(_noconst_energy, "gaussNewtonGPU"),
+        [W, H, D],
+    )
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 12)
+    rng = np.random.RandomState(3)
+    inputs = {
+        "X": rng.rand(D, H, W, 3).astype(np.float32),
+        "w_fitSqrt": np.sqrt(1.0),
+        "w_regSqrt": np.sqrt(0.3),
+    }
+    ref = plan.solve(dict(inputs), engine="xla")
+    eng = StreamSolver3D(plan, variant=variant)
+    assert eng.const_names == [], "case must exercise nC==0"
+    out = eng.solve(dict(inputs), interpret=True)
+    np.testing.assert_allclose(out["final_cost"], ref, rtol=1e-4)
+
+
 def test_stream3d_classic_lm_reset():
     """LM through the classic kernel: Q/zeta exit plus the periodic
     exact residual replacement (delta staged into the zero-edged
