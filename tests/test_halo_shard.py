@@ -188,6 +188,45 @@ def test_sharded_stream_matches_single_poisson_exclude():
     assert cost == pytest.approx(ref, rel=1e-5)
 
 
+@pytest.mark.parametrize("kind", ["gaussNewtonGPU", "LMGPU"])
+def test_sharded_stream_chunked_outer_parity(kind, monkeypatch):
+    """Sharding x chunked outer (the r4 composition gap): the per-shard
+    strip-mined outer step (halo.ShardedChunkedGridFuncs) holds parity
+    with the single-device solve, GN and LM (LM adds the strip-mined
+    model_cost).  Forced on at test size via
+    OPT_TPU_STREAM_CHUNKED_OUTER=1 with a tiny strip target so each
+    device's slab splits into 4 strips -- multi-strip accumulation AND
+    the _unext transposed-ppermute halo-spill routing both execute."""
+    from opt_tpu.parallel import stream_shard as pss
+    from opt_tpu.ops import stream_outer
+
+    W, H = 128, 128   # 16 rows/device
+    inputs = _warp_inputs(W, H)
+    ref = _single(energies.image_warping, [W, H], inputs, kind)
+    monkeypatch.setenv("OPT_TPU_STREAM_CHUNKED_OUTER", "1")
+    monkeypatch.setattr(stream_outer, "STRIP_TARGET_ELEMS", 4 * W)
+    plan = _plan(energies.image_warping, [W, H], kind)
+    cost = pss.solve_sharded_stream(plan, inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=2e-5)
+
+
+def test_sharded_stream3d_chunked_outer(monkeypatch):
+    """The 3-D composition: D-slab shards with the outer step
+    strip-mined over each slab's D planes."""
+    from opt_tpu.parallel import stream_shard as pss
+    from opt_tpu.ops import stream_outer
+
+    energy = energies.ALL_ENERGIES["volumetric_mesh_deformation"]
+    W, H, D = 128, 16, 32   # 4 D-planes/device
+    inputs = _vol_inputs(W, H, D)
+    ref = _single(energy, [W, H, D], inputs)
+    monkeypatch.setenv("OPT_TPU_STREAM_CHUNKED_OUTER", "1")
+    monkeypatch.setattr(stream_outer, "STRIP_TARGET_ELEMS", H * W)
+    plan = _plan(energy, [W, H, D])
+    cost = pss.solve_sharded_stream3d(plan, inputs, _mesh1d())
+    assert cost == pytest.approx(ref, rel=5e-4)
+
+
 def test_sharded_stream_rejects_graphs():
     from opt_tpu.parallel import stream_shard as pss
 
