@@ -102,14 +102,20 @@ def main():
 
         if vmem_solver.supports(plan):
             eng = vmem_solver.VmemSolver(plan)
-            out = eng.solve(inputs)  # warmup + compile
+            # device-resident reps, like the xla timing above: the host
+            # numpy path would charge the ~40-60 MB/s relay transfer to
+            # the engine (CLAUDE.md timing protocol)
+            dev_in = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                          else v) for k, v in inputs.items()}
+            out = eng.solve(dict(dev_in))  # warmup + compile
             assert abs(out["final_cost"] - final_cost) <= (
                 1e-4 * abs(final_cost)
             ), f"vmem cost {out['final_cost']} != xla {final_cost}"
             tv = []
             for rep in (1, 2):
-                di = dict(inputs)
-                di["Offset"] = inputs["Offset"] + np.float32(rep * 1e-6)
+                di = dict(dev_in)
+                di["Offset"] = dev_in["Offset"] + np.float32(rep * 1e-6)
+                jax.block_until_ready(di["Offset"])
                 t0 = time.perf_counter()
                 out = eng.solve(di)  # final_cost fetch inside
                 tv.append((time.perf_counter() - t0) * 1e3)
@@ -465,6 +471,29 @@ def aux_volumetric(err):
         f"xla={min(t_xla):.1f} ms speedup={min(t_xla)/min(t_eng):.2f}x "
         f"cost_eng={cost_eng:.6g} cost_xla={cost_xla:.6g}", file=err,
     )
+
+    # the CLASSIC (capacity) kernel -- the only path to >= 384^3 -- gets
+    # its own driver-visible regression line with in-script parity so it
+    # cannot silently rot between rounds (VERDICT r4 next #4)
+    engc = StreamSolver3D(plan, variant="classic")
+    out = engc.solve(dict(dev))  # warmup + compile
+    cost_c = float(out["final_cost"])
+    t_c = []
+    for rep in (3, 4):
+        di = dict(dev)
+        di["Offset"] = dev["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(di["Offset"])
+        t0 = time.perf_counter()
+        out = engc.solve(di)
+        t_c.append((time.perf_counter() - t0) * 1e3)
+    ok = abs(cost_c - cost_xla) <= 2e-4 * abs(cost_xla)
+    print(
+        f"# aux volumetric_128_gn_classic(8x100): "
+        f"stream3d_classic={min(t_c):.1f} ms "
+        f"(T=({engc.tile_d},{engc.tile_h})) cost={cost_c:.6g} "
+        f"(parity vs xla {'OK' if ok else 'FAIL'} rtol 2e-4)", file=err,
+    )
+    assert ok, f"classic 3-D kernel lost parity: {cost_c} vs {cost_xla}"
 
 
 def aux_sfs(err):

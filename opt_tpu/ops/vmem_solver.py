@@ -44,16 +44,45 @@ from ..solver.core import make_solver
 # planes, transpose scratch) beyond the counted image/work-vector buffers.
 # estimate_vmem_bytes models them as TEMP_PLANES_FACTOR live planes per
 # residual channel on the residual index space.  Calibration datapoints
-# (v5e, 16 MB/core, PADDED estimates as supports() computes them):
-# image_warping (10 residual planes) fits at 192^2 and OOMs at 256^2;
-# with factor 4 the padded estimates are 12.4 / 17.3 MB against the
-# 14 MB budget -- both classified correctly, with room for low-channel
-# energies the old flat 5 MB cap rejected.  Note the 512^2 image_warping golden can NEVER run
-# whole-solve-in-VMEM: its counted state alone (3 ch unknowns x 6 work
-# vectors + 5 ch images) is ~27 MB; larger-than-VMEM grids belong to the
-# tiled/XLA paths.
-VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+# (v5e, PADDED estimates as supports() computes them):
+# - under Mosaic's DEFAULT 16 MB scoped-vmem ceiling (rounds 1-4, the
+#   old 14 MB budget): image_warping fits at 192^2 (est 12.4 MB) and
+#   OOMs at 256^2 (17.3 MB) -- factor 4 classifies both correctly;
+# - round 5, with vmem_limit_bytes raised to VMEM_LIMIT_BYTES:
+#   image_warping 256^2 (est 16.5 MB) AND the 512^2 flagship (est
+#   66 MB) both compile and run, each 1.4x FASTER than the fused XLA
+#   solve at the reference config (examples/probe_vmem512.py,
+#   docs/sweep_tpu_r5.csv) -- the first engine to beat XLA at the
+#   512^2 headline (VMEM-residency for the whole solve: one HBM read
+#   in, one write out).
+# The budget below gates estimates against the raised ceiling with
+# ~15% headroom for the un-modeled part of Mosaic's stack.
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
 TEMP_PLANES_FACTOR = 4
+
+# auto-engine crossover (runtime/api.Plan._pick_engine): route GN f32
+# grids >= this to the vmem engine on TPU -- 256^2 measured 2.21x and
+# the 512^2 flagship 1.92x over fused XLA (docs/sweep_tpu_r5.csv);
+# below 256^2 the win is unmeasured and XLA's dispatch is already sub-
+# 40 ms, so auto stays conservative.
+AUTO_VMEM_MIN_PIXELS = 256 * 256
+
+# Mosaic's 16 MB scoped-vmem ceiling is only the DEFAULT; the streamed
+# engines verified 64 MB (graph kernel) and 112 MB (StreamSolverHBM
+# T=32 at 8192^2) compiling and running on v5e (CLAUDE.md Pallas
+# constraints).  The kernel requests this limit so the budget above can
+# be raised past 16 MB; OPT_TPU_VMEM_BUDGET_MB overrides the budget for
+# calibration probes (examples/probe_vmem512.py).
+VMEM_LIMIT_BYTES = 112 * 1024 * 1024
+
+
+def _budget_bytes():
+    import os
+
+    env = os.environ.get("OPT_TPU_VMEM_BUDGET_MB")
+    if env:
+        return int(float(env) * 1024 * 1024)
+    return VMEM_BUDGET_BYTES
 
 
 def _roundup(v, m):
@@ -110,7 +139,7 @@ def supports(plan):
         if padded[d.index] != d.size:
             scale *= padded[d.index] / d.size
     est = estimate_vmem_bytes(funcs, plan.config.uses_lambda) * scale
-    if est > VMEM_BUDGET_BYTES:
+    if est > _budget_bytes():
         return False
     return True
 
@@ -216,6 +245,8 @@ class VmemSolver:
             in_specs=[vspec] * n_in + [sspec, sspec],
             out_specs=tuple([vspec] * n_out_planes + [sspec]),
             out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_BYTES),
             interpret=interpret,
         )
 

@@ -746,6 +746,21 @@ class Plan:
         if (shape[0] * shape[1] >= min_px
                 and stream_solver.supports_hbm(self)):
             return "stream_hbm"
+        # mid-size GN grids: the whole-solve-in-VMEM kernel measured
+        # 2.2x (256^2) / 1.9x (512^2 flagship) over fused XLA on v5e
+        # (docs/sweep_tpu_r5.csv) once the scoped-vmem limit was raised
+        # to 112 MB; the budget model gates size.  TPU only (interpret
+        # mode would crawl at these grids) and GN only (LM through the
+        # kernel is unmeasured); solve() falls back to xla if the
+        # kernel fails past the model's estimate.
+        from ..ops import vmem_solver
+
+        if (not self.config.uses_lambda
+                and self.funcs.dtype == jnp.float32
+                and shape[0] * shape[1] >= vmem_solver.AUTO_VMEM_MIN_PIXELS
+                and jax.default_backend() == "tpu"
+                and vmem_solver.supports(self)):
+            return "vmem"
         return "xla"
 
     def solve(self, inputs, on_device=True, engine="auto",
@@ -772,10 +787,13 @@ class Plan:
         its two-axis-tiled 3-D counterpart for volumetric grids
         (opt_tpu/ops/stream3d.StreamSolver3D, GN and LM).  All fall
         back to "xla" when unsupported.  The default "auto" picks
-        stream_hbm for eligible 2-D grids (GN >= 2048^2, LM >= 512^2)
-        and stream3d for volumes >= 64^3 (GN and LM), where each
-        measured 1.2-2.7x over the XLA path on v5e
-        (docs/sweep_tpu_r3.csv)."""
+        stream_hbm for eligible 2-D grids (GN >= 2048^2, LM >= 512^2),
+        stream3d for volumes >= 64^3 (GN and LM), and -- on TPU -- vmem
+        for GN f32 grids in [256^2, budget] (2.2x/1.9x measured,
+        docs/sweep_tpu_r5.csv; falls back to xla if the kernel fails
+        past the budget model's estimate), where each measured
+        1.2-2.7x over the XLA path on v5e (docs/sweep_tpu_r3.csv,
+        r5)."""
         if mesh is not None:
             from ..parallel.dispatch import solve_sharded_auto
 
@@ -809,43 +827,62 @@ class Plan:
                 # (measured RESOURCE_EXHAUSTED on v5e, round 3)
                 self._state = None
                 self._data = None
-                if donate_inputs and not isinstance(
-                        vs, vmem_solver.VmemSolver):
-                    # caller relinquishes device-array inputs: donated
-                    # without the defensive copy (saves their full
-                    # footprint -- 8192^2 LM does not fit otherwise).
-                    # current_cost()/load_state() then need init() with
-                    # fresh inputs (the donated ones are consumed).
-                    out = vs.solve(inputs, donate_inputs=True)
-                    self._data_inputs = None
-                else:
-                    out = vs.solve(inputs)
-                    # bind LAZILY for later current_cost()/load_state():
-                    # an eager re-bind here transferred the full input
-                    # set host->device a SECOND time per solve -- at
-                    # 8192^2 that is ~2 GB through the relay, which
-                    # dominated the measured LM outer intercept
-                    # (docs/ROUND3_TODO.md #12)
-                    self._data_inputs = inputs
-                self._state = {
-                    "x": out["x"],
-                    "prev_cost": jnp.asarray(out["final_cost"],
-                                             self.state.dtype),
-                    "radius": jnp.asarray(
-                        self.solver_params["trust_region_radius"],
-                        self.state.dtype),
-                    "decrease_f": jnp.asarray(
-                        self.solver_params["radius_decrease_factor"],
-                        self.state.dtype),
-                    "ssq": jax.tree_util.tree_map(jnp.ones_like,
-                                                  out["x"]),
-                    "n_iter": jnp.asarray(
-                        int(self.solver_params["nIterations"]), jnp.int32),
-                    "done": jnp.asarray(True),
-                }
-                if self.state.verbosity > 0:
-                    print(f"final cost={out['final_cost']:.16f}")
-                return out["final_cost"]
+                try:
+                    if donate_inputs and not isinstance(
+                            vs, vmem_solver.VmemSolver):
+                        # caller relinquishes device-array inputs:
+                        # donated without the defensive copy (saves
+                        # their full footprint -- 8192^2 LM does not
+                        # fit otherwise).  current_cost()/load_state()
+                        # then need init() with fresh inputs (the
+                        # donated ones are consumed).
+                        out = vs.solve(inputs, donate_inputs=True)
+                        self._data_inputs = None
+                    else:
+                        out = vs.solve(inputs)
+                        # bind LAZILY for later current_cost()/
+                        # load_state(): an eager re-bind here
+                        # transferred the full input set host->device a
+                        # SECOND time per solve -- at 8192^2 that is
+                        # ~2 GB through the relay, which dominated the
+                        # measured LM outer intercept
+                        # (docs/ROUND3_TODO.md #12)
+                        self._data_inputs = inputs
+                except Exception as e:
+                    if not isinstance(vs, vmem_solver.VmemSolver):
+                        raise
+                    # the vmem budget is a MODEL of Mosaic's stack
+                    # allocation: past-the-model energies fail at
+                    # compile; fall back to the fused XLA program so
+                    # auto-routing never breaks a previously-working
+                    # solve
+                    import warnings
+
+                    warnings.warn(
+                        "vmem engine failed; falling back to xla: "
+                        f"{e!r:.160}")
+                    out = None
+                if out is not None:
+                    self._state = {
+                        "x": out["x"],
+                        "prev_cost": jnp.asarray(out["final_cost"],
+                                                 self.state.dtype),
+                        "radius": jnp.asarray(
+                            self.solver_params["trust_region_radius"],
+                            self.state.dtype),
+                        "decrease_f": jnp.asarray(
+                            self.solver_params["radius_decrease_factor"],
+                            self.state.dtype),
+                        "ssq": jax.tree_util.tree_map(jnp.ones_like,
+                                                      out["x"]),
+                        "n_iter": jnp.asarray(
+                            int(self.solver_params["nIterations"]),
+                            jnp.int32),
+                        "done": jnp.asarray(True),
+                    }
+                    if self.state.verbosity > 0:
+                        print(f"final cost={out['final_cost']:.16f}")
+                    return out["final_cost"]
 
         x, data = self.bind(inputs)
         self._data = data

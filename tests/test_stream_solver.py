@@ -284,6 +284,27 @@ def test_auto_engine_selection():
     assert small._pick_engine("vmem") == "vmem"
 
 
+def test_auto_engine_vmem_tpu_only(monkeypatch):
+    """auto routes GN f32 grids >= 256^2 to the whole-solve-in-VMEM
+    engine on TPU (2.2x/1.9x measured, docs/sweep_tpu_r5.csv) but
+    never on CPU (interpret mode would crawl), and never for LM
+    (unmeasured through the kernel)."""
+    import jax
+
+    state = opt_tpu.NewState()
+    mk = lambda kind, dims: state.problem_plan(
+        state.problem_define(energies.image_warping, kind), dims)
+    mid = mk("gaussNewtonGPU", [256, 256])
+    assert mid._pick_engine("auto") == "xla"      # CPU test backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert mid._pick_engine("auto") == "vmem"
+    assert mk("gaussNewtonGPU", [512, 512])._pick_engine("auto") == "vmem"
+    assert mk("LMGPU", [256, 256])._pick_engine("auto") != "vmem"
+    # below the measured crossover and past the budget: xla
+    assert mk("gaussNewtonGPU", [128, 128])._pick_engine("auto") == "xla"
+    assert mk("gaussNewtonGPU", [1024, 1024])._pick_engine("auto") == "xla"
+
+
 def test_supports_rejects():
     state = opt_tpu.NewState()
     # LM rejected
