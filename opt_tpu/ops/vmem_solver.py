@@ -132,6 +132,21 @@ def supports(plan):
     for g in funcs.groups:
         if g.kind != "centered" or g.ispace.ndims < 2:
             return False
+    # SampledImage reads at dynamic coordinates: Mosaic has no dynamic
+    # gather, so the kernel cannot compile (the auto-route fallback
+    # would catch it, but only after a wasted compile attempt)
+    from ..dsl import expr as E
+
+    found = [False]
+
+    def _chk(a):
+        if isinstance(a, E.SampledAccess):
+            found[0] = True
+
+    for exp in funcs.spec.terms:
+        E.visit(exp, _chk)
+    if found[0]:
+        return False
     # budget estimated on padded sizes
     padded = _padded_dim_sizes(plan.spec, list(plan.dims))
     scale = 1.0
