@@ -237,7 +237,11 @@ def index_coords(shape, dim, shift, dtype, coord_offset=None):
     nd = len(shape)
     axis = nd - 1 - dim
     size = shape[axis]
-    coord = jnp.arange(size, dtype=dtype) + jnp.asarray(shift, dtype)
+    # integer iota + convert: Mosaic rejects float-result tpu.iota, and
+    # Index()-using energies (SFS) must lower inside the VMEM
+    # whole-solve kernel; identical values in f32/f64 for any real size
+    coord = (jnp.arange(size, dtype=jnp.int32).astype(dtype)
+             + jnp.asarray(shift, dtype))
     if coord_offset is not None:
         coord = coord + jnp.asarray(coord_offset[axis], dtype)
     return coord.reshape((1,) * axis + (size,) + (1,) * (nd - axis - 1))

@@ -542,7 +542,12 @@ def make_solver(funcs, config: SolverConfig):
         ftol = jnp.asarray(sp["function_tolerance"], dtype)
         ftol_reached = cost_change <= state["prev_cost"] * ftol
         step_quality = relative_decrease
-        tmp_factor = 1.0 - jnp.power(2.0 * step_quality - 1.0, 3.0)
+        # powf(2q-1, 3) as an explicit cube: same HLO under XLA (which
+        # expands constant integer powers to multiplies) but Mosaic has
+        # no powf legalization, and the whole LM solve must lower
+        # inside the VMEM whole-solve kernel (ops/vmem_solver.py)
+        tmp_base = 2.0 * step_quality - 1.0
+        tmp_factor = 1.0 - tmp_base * tmp_base * tmp_base
         radius_acc = state["radius"] / jnp.maximum(1.0 / 3.0, tmp_factor)
         radius_acc = jnp.minimum(
             radius_acc, jnp.asarray(sp["max_trust_region_radius"], dtype)
