@@ -70,6 +70,7 @@ def run_case(tag, energy, dims, inputs, kind="gaussNewtonGPU",
         ok = abs(cost_v - ref) <= 2e-4 * abs(ref)
         print(f"{tag},{kind},{n_outer},{n_lin},{min(ts):.1f},"
               f"{cost_v:.6g},parity={'OK' if ok else 'FAIL'},"
+              f"xla_cost={ref:.6g},"
               f"xla_ms={min(xs):.1f},speedup={min(xs)/min(ts):.2f}x",
               flush=True)
     except Exception:

@@ -706,14 +706,16 @@ class Plan:
 
     def _pick_engine(self, engine):
         """Resolve engine="auto" to the measured-best path for this plan:
-        grids past the XLA VMEM-carry regime (~>=2048^2 pixels,
-        docs/ROOFLINE.md) route to the streamed HBM engine when eligible
-        -- GN via the pipelined kernel (2048^2 1.9x / 4096^2 2.4x over
-        XLA) and LM via the classic kernel (2048^2 LM: stream 1285.6 ms
-        vs XLA 3041.9 ms, 2.37x, docs/sweep_tpu_r3.csv); everything
-        else stays on the fused XLA program.  OPT_TPU_ENGINE overrides
-        the auto choice (ops escape hatch, like OPT_TPU_GRAPH_MODE for
-        the graph engine)."""
+        f32 grids that fit the whole-solve VMEM budget (>= 256^2, GN and
+        LM) route to the VMEM kernel on TPU (1.5-3.6x over fused XLA,
+        docs/sweep_tpu_r5.csv); grids past the XLA VMEM-carry regime
+        (~>=2048^2 pixels, docs/ROOFLINE.md) route to the streamed HBM
+        engine when eligible -- GN via the pipelined kernel (2048^2
+        1.9x / 4096^2 2.4x over XLA) and LM via the classic kernel
+        (2048^2 LM: stream 1285.6 ms vs XLA 3041.9 ms, 2.37x,
+        docs/sweep_tpu_r3.csv); everything else stays on the fused XLA
+        program.  OPT_TPU_ENGINE overrides the auto choice (ops escape
+        hatch, like OPT_TPU_GRAPH_MODE for the graph engine)."""
         if engine == "auto":
             import os
 
@@ -738,6 +740,23 @@ class Plan:
             return "xla"
         if len(shape) != 2:
             return "xla"
+        # mid-size grids: the whole-solve-in-VMEM kernel measured 2.2x
+        # (256^2 GN) / 1.9x (512^2 GN flagship) / 3.6x (512^2 LM 8x400)
+        # over fused XLA on v5e (docs/sweep_tpu_r5.csv) once the
+        # scoped-vmem limit was raised to 112 MB; the budget model
+        # gates size.  Checked BEFORE the streamed HBM engine: at the
+        # sizes where both are eligible (LM >= 512^2) vmem wins
+        # outright (60.6 ms for 8x400 vs the stream's 91.7 ms for
+        # 8x100 at 512^2, sweep r5 vs r3).  TPU only (interpret mode
+        # would crawl at these grids); solve() falls back to xla if
+        # the kernel fails past the model's estimate.
+        from ..ops import vmem_solver
+
+        if (self.funcs.dtype == jnp.float32
+                and shape[0] * shape[1] >= vmem_solver.AUTO_VMEM_MIN_PIXELS
+                and jax.default_backend() == "tpu"
+                and vmem_solver.supports(self)):
+            return "vmem"
         from ..ops import stream_solver
 
         min_px = (stream_solver.AUTO_STREAM_MIN_PIXELS_LM
@@ -746,21 +765,6 @@ class Plan:
         if (shape[0] * shape[1] >= min_px
                 and stream_solver.supports_hbm(self)):
             return "stream_hbm"
-        # mid-size GN grids: the whole-solve-in-VMEM kernel measured
-        # 2.2x (256^2) / 1.9x (512^2 flagship) over fused XLA on v5e
-        # (docs/sweep_tpu_r5.csv) once the scoped-vmem limit was raised
-        # to 112 MB; the budget model gates size.  TPU only (interpret
-        # mode would crawl at these grids) and GN only (LM through the
-        # kernel is unmeasured); solve() falls back to xla if the
-        # kernel fails past the model's estimate.
-        from ..ops import vmem_solver
-
-        if (not self.config.uses_lambda
-                and self.funcs.dtype == jnp.float32
-                and shape[0] * shape[1] >= vmem_solver.AUTO_VMEM_MIN_PIXELS
-                and jax.default_backend() == "tpu"
-                and vmem_solver.supports(self)):
-            return "vmem"
         return "xla"
 
     def solve(self, inputs, on_device=True, engine="auto",
@@ -787,11 +791,12 @@ class Plan:
         its two-axis-tiled 3-D counterpart for volumetric grids
         (opt_tpu/ops/stream3d.StreamSolver3D, GN and LM).  All fall
         back to "xla" when unsupported.  The default "auto" picks
-        stream_hbm for eligible 2-D grids (GN >= 2048^2, LM >= 512^2),
-        stream3d for volumes >= 64^3 (GN and LM), and -- on TPU -- vmem
-        for GN f32 grids in [256^2, budget] (2.2x/1.9x measured,
+        -- on TPU -- vmem for f32 grids in [256^2, budget], GN and LM
+        alike (GN 2.2x/1.9x at 256^2/512^2, LM 3.6x at 512^2 8x400,
         docs/sweep_tpu_r5.csv; falls back to xla if the kernel fails
-        past the budget model's estimate), where each measured
+        past the budget model's estimate), then stream_hbm for
+        eligible larger 2-D grids (GN >= 2048^2, LM >= 512^2) and
+        stream3d for volumes >= 64^3 (GN and LM), where each measured
         1.2-2.7x over the XLA path on v5e (docs/sweep_tpu_r3.csv,
         r5)."""
         if mesh is not None:

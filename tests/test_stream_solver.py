@@ -285,10 +285,12 @@ def test_auto_engine_selection():
 
 
 def test_auto_engine_vmem_tpu_only(monkeypatch):
-    """auto routes GN f32 grids >= 256^2 to the whole-solve-in-VMEM
-    engine on TPU (2.2x/1.9x measured, docs/sweep_tpu_r5.csv) but
-    never on CPU (interpret mode would crawl), and never for LM
-    (unmeasured through the kernel)."""
+    """auto routes f32 grids >= 256^2 -- GN AND LM -- to the
+    whole-solve-in-VMEM engine on TPU (GN 2.2x/1.9x, LM 3.6x at 512^2
+    8x400, docs/sweep_tpu_r5.csv) but never on CPU (interpret mode
+    would crawl).  The vmem check precedes the streamed HBM check, so
+    512^2 LM (eligible for both) takes the measured-faster kernel;
+    past the VMEM budget LM falls through to stream_hbm as before."""
     import jax
 
     state = opt_tpu.NewState()
@@ -299,7 +301,10 @@ def test_auto_engine_vmem_tpu_only(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert mid._pick_engine("auto") == "vmem"
     assert mk("gaussNewtonGPU", [512, 512])._pick_engine("auto") == "vmem"
-    assert mk("LMGPU", [256, 256])._pick_engine("auto") != "vmem"
+    assert mk("LMGPU", [256, 256])._pick_engine("auto") == "vmem"
+    assert mk("LMGPU", [512, 512])._pick_engine("auto") == "vmem"
+    # past the VMEM budget: LM falls through to the streamed engine
+    assert mk("LMGPU", [1024, 1024])._pick_engine("auto") == "stream_hbm"
     # below the measured crossover and past the budget: xla
     assert mk("gaussNewtonGPU", [128, 128])._pick_engine("auto") == "xla"
     assert mk("gaussNewtonGPU", [1024, 1024])._pick_engine("auto") == "xla"
