@@ -176,6 +176,11 @@ def main():
         print(f"# volumetric aux bench failed: {e!r:.120}",
               file=sys.stderr)
     try:
+        aux_vmem_lm(sys.stderr)
+    except Exception as e:
+        print(f"# vmem-lm aux bench failed: {e!r:.120}",
+              file=sys.stderr)
+    try:
         aux_solve_many(sys.stderr)
     except Exception as e:
         print(f"# solve_many aux bench failed: {e!r:.120}",
@@ -560,6 +565,69 @@ def aux_sfs(err):
         f"final_cost={c:.6g}", file=err,
     )
 
+
+
+def aux_vmem_lm(err):
+    """512^2 LM 8x400 through the round-5 auto route: the whole-solve
+    VMEM kernel (3.61x over fused XLA measured, docs/sweep_tpu_r5.csv;
+    also beats the r3 streamed engine it displaced in the routing
+    order).  Parity asserted in-script so the LM-through-the-kernel
+    path cannot silently rot between rounds."""
+    import jax
+    import jax.numpy as jnp
+    import opt_tpu
+    from opt_tpu import energies
+
+    W = H = 512
+    n_outer, n_lin = 8, 400
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(energies.image_warping, "LMGPU"), [W, H])
+    plan.set_solver_parameter("nIterations", n_outer)
+    plan.set_solver_parameter("lIterations", n_lin)
+    if jax.default_backend() == "tpu":
+        assert plan._pick_engine("auto") == "vmem", (
+            "512^2 LM must auto-route to the VMEM kernel on TPU")
+    inputs = warp_inputs(W, H)
+    dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+           for k, v in inputs.items()}
+
+    # fused XLA reference (cost + time)
+    x, data = plan.bind(inputs)
+    sp = plan._sp_device()
+    sp["nIterations"] = jnp.asarray(n_outer, jnp.int32)
+    st = plan._full_solve_fn(x, data, sp)
+    cost_xla = float(st["prev_cost"])
+    t_xla = []
+    for rep in (1, 2):
+        xr = dict(x)
+        xr["Offset"] = x["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(xr)
+        t0 = time.perf_counter()
+        st = plan._full_solve_fn(xr, data, sp)
+        _ = float(st["prev_cost"])
+        t_xla.append((time.perf_counter() - t0) * 1e3)
+
+    from opt_tpu.ops import vmem_solver
+
+    eng = vmem_solver.VmemSolver(plan)
+    out = eng.solve(dict(dev))  # warmup + compile
+    cost_v = float(out["final_cost"])
+    ok = abs(cost_v - cost_xla) <= 2e-4 * abs(cost_xla)
+    t_v = []
+    for rep in (1, 2):
+        di = dict(dev)
+        di["Offset"] = dev["Offset"] + np.float32(rep * 1e-6)
+        jax.block_until_ready(di["Offset"])
+        t0 = time.perf_counter()
+        out = eng.solve(di)
+        t_v.append((time.perf_counter() - t0) * 1e3)
+    print(
+        f"# aux image_warping_512_lm_vmem(8x400): vmem={min(t_v):.1f} ms "
+        f"xla={min(t_xla):.1f} ms speedup={min(t_xla)/min(t_v):.2f}x "
+        f"cost_vmem={cost_v:.4f} cost_xla={cost_xla:.4f}", file=err,
+    )
+    assert ok, f"vmem LM lost parity: {cost_v} vs {cost_xla}"
 
 
 def aux_solve_many(err):

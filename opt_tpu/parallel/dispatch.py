@@ -45,6 +45,24 @@ _ALIASES = {
 }
 
 
+def _flat_mesh(mesh):
+    """1-D view over ALL of a multi-axis mesh's devices (row-major).
+
+    The streamed shard engines slab one spatial axis over ONE mesh axis
+    (stream_shard.supports/supports3d), but real pods default to 2-D
+    meshes.  A solve is a standalone dispatch, so re-wrapping the same
+    devices in a fresh 1-D Mesh is legal; row-major flattening keeps
+    slab neighbors ICI-adjacent along the fastest-varying mesh axis
+    (the same locality argument as the reference's per-thread row
+    partitioning, backend_cpu_mt.t:52-70).  The caller's mesh object is
+    untouched -- only the streamed-engine dispatch sees the flat view."""
+    if mesh.devices.ndim == 1:
+        return mesh
+    from jax.sharding import Mesh
+
+    return Mesh(mesh.devices.reshape(-1), ("_stream_slab",))
+
+
 def pick_sharded_engine(plan, mesh, engine="auto"):
     """Resolve engine="auto" to the sharded path for this plan/mesh.
 
@@ -74,7 +92,7 @@ def pick_sharded_engine(plan, mesh, engine="auto"):
 
         per_dev = int(np.prod(shape)) // n_dev
         if (per_dev >= stream3d.AUTO_STREAM3D_MIN_VOXELS
-                and stream_shard.supports3d(plan, mesh)):
+                and stream_shard.supports3d(plan, _flat_mesh(mesh))):
             return "stream3d"
         return "gspmd"
     if len(shape) == 2:
@@ -84,7 +102,7 @@ def pick_sharded_engine(plan, mesh, engine="auto"):
                   if plan.config.uses_lambda
                   else stream_solver.AUTO_STREAM_MIN_PIXELS)
         if (shape[0] * shape[1] // n_dev >= min_px
-                and stream_shard.supports(plan, mesh)):
+                and stream_shard.supports(plan, _flat_mesh(mesh))):
             return "stream"
         return "gspmd"
     return "gspmd"
@@ -111,9 +129,9 @@ def solve_sharded_auto(plan, inputs, mesh, engine="auto",
     if eng == "stream":
         from .stream_shard import solve_sharded_stream
 
-        return solve_sharded_stream(plan, inputs, mesh,
+        return solve_sharded_stream(plan, inputs, _flat_mesh(mesh),
                                     n_iterations=n_iterations)
     from .stream_shard import solve_sharded_stream3d
 
-    return solve_sharded_stream3d(plan, inputs, mesh,
+    return solve_sharded_stream3d(plan, inputs, _flat_mesh(mesh),
                                   n_iterations=n_iterations)

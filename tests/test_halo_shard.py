@@ -137,6 +137,23 @@ def test_sharded_stream_matches_single_image_warping(variant):
     assert cost == pytest.approx(ref, rel=1e-5)
 
 
+def test_sharded_stream_2d_mesh_flattened():
+    """A 2-D mesh reaches the streamed engine via the dispatcher's
+    row-major flattening (dispatch._flat_mesh): same final cost as the
+    single-device solve.  Uses the explicit engine (the small test grid
+    is below the auto crossover)."""
+    from opt_tpu.parallel import mesh as pmesh
+    from opt_tpu.parallel.dispatch import solve_sharded_auto
+
+    W, H = 128, 64
+    inputs = _warp_inputs(W, H)
+    ref = _single(energies.image_warping, [W, H], inputs)
+    plan = _plan(energies.image_warping, [W, H])
+    m2 = pmesh.make_mesh(8, shape=(2, 4))
+    cost = solve_sharded_auto(plan, inputs, m2, engine="stream")
+    assert cost == pytest.approx(ref, rel=1e-5)
+
+
 def test_sharded_stream_matches_single_lm():
     """LM on the sharded streamed engine: scs diagonal in the per-shard
     apply, psum'd Q/zeta exit, periodic exact residual replacement --
