@@ -117,6 +117,23 @@ if "warp_lm" in which:
              warp_inputs(512, 512), kind="LMGPU", n_outer=8,
              n_lin=400, perturb="Offset")
 
+if "intrinsic" in which:
+    # multi-unknown (r 3ch + s 1ch), r_const alias, L_p IRLS pow --
+    # the remaining auto-routed 2-D energy shape never measured
+    # through the kernel
+    def intrinsic_inputs(W, H, seed=3):
+        rng = np.random.RandomState(seed)
+        im = rng.rand(H, W, 3).astype(np.float32) + 0.1
+        return {"r": np.log(im) * 0.5, "s": np.zeros((H, W, 1), np.float32),
+                "i": np.log(im),
+                "w_fitSqrt": np.float32(np.sqrt(500.0)),
+                "w_regSqrtAlbedo": np.float32(np.sqrt(1000.0)),
+                "w_regSqrtShading": np.float32(np.sqrt(10000.0)),
+                "pNorm": np.float32(0.8)}
+
+    run_case("intrinsic_512", energies.intrinsic_image_decomposition,
+             [512, 512], intrinsic_inputs(512, 512), perturb="r")
+
 if "poisson" in which:
     def poisson_inputs(W, H, seed=1):
         rng = np.random.RandomState(seed)

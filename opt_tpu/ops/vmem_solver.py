@@ -55,9 +55,14 @@ from ..solver.core import make_solver
 #   docs/sweep_tpu_r5.csv) -- the first engine to beat XLA at the
 #   512^2 headline (VMEM-residency for the whole solve: one HBM read
 #   in, one write out).
-# The budget below gates estimates against the raised ceiling with
-# ~15% headroom for the un-modeled part of Mosaic's stack.
-VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+# - round 5 again: intrinsic_image_decomposition 512^2 (est 107.0 MB,
+#   the largest estimate probed) compiles and runs 2.29x over XLA
+#   (examples/probe_vmem_more.py) -- the un-modeled stack slack at the
+#   112 MB limit is under 5 MB, so the budget keeps only that margin.
+# An over-optimistic admit costs one wasted compile attempt, not a
+# crash: Plan.solve's auto route falls back to the XLA program when
+# the kernel build fails (runtime/api.py).
+VMEM_BUDGET_BYTES = 108 * 1024 * 1024
 TEMP_PLANES_FACTOR = 4
 
 # auto-engine crossover (runtime/api.Plan._pick_engine): route GN f32
