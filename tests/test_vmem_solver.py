@@ -138,6 +138,33 @@ def test_vmem_solver_rejects_graphs_and_big():
     assert not vmem_solver.supports(plan)
 
 
+def test_plan_solve_vmem_falls_back_to_xla(monkeypatch):
+    """The budget is a MODEL of Mosaic's stack allocation: a kernel
+    that fails past it must not break the solve -- Plan.solve warns
+    and reruns on the fused XLA program (runtime/api.py fallback;
+    this is what makes the optimistic 108 MB budget safe)."""
+    import warnings
+
+    inputs = warp_inputs(8, 6, seed=31)
+    state = opt_tpu.NewState()
+    plan = state.problem_plan(
+        state.problem_define(warp_energy, "gaussNewtonGPU"), [8, 6]
+    )
+    plan.set_solver_parameter("nIterations", 2)
+    plan.set_solver_parameter("lIterations", 6)
+    want = plan.solve(dict(inputs), engine="xla")
+
+    def boom(self, *a, **k):
+        raise RuntimeError("synthetic Mosaic compile failure")
+
+    monkeypatch.setattr(vmem_solver.VmemSolver, "solve", boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = plan.solve(dict(inputs), engine="vmem")
+    assert got == pytest.approx(want, rel=1e-5)
+    assert any("falling back to xla" in str(x.message) for x in w)
+
+
 def test_plan_solve_vmem_engine():
     inputs = warp_inputs(8, 6, seed=31)
     state = opt_tpu.NewState()
