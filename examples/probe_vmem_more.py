@@ -117,6 +117,13 @@ if "warp_lm" in which:
              warp_inputs(512, 512), kind="LMGPU", n_outer=8,
              n_lin=400, perturb="Offset")
 
+if "warp_lm_256" in which:
+    from bench import warp_inputs
+
+    run_case("image_warping_256", energies.image_warping, [256, 256],
+             warp_inputs(256, 256), kind="LMGPU", n_outer=8,
+             n_lin=100, perturb="Offset")
+
 if "intrinsic" in which:
     # multi-unknown (r 3ch + s 1ch), r_const alias, L_p IRLS pow --
     # the remaining auto-routed 2-D energy shape never measured
@@ -146,3 +153,15 @@ if "poisson" in which:
     for s in (256, 384):
         run_case(f"poisson_{s}", energies.poisson_image_editing,
                  [s, s], poisson_inputs(s, s))
+
+if "poisson512" in which:
+    def poisson_inputs(W, H, seed=1):
+        rng = np.random.RandomState(seed)
+        t0 = rng.rand(H, W, 4).astype(np.float32)
+        mask = np.ones((H, W, 1), np.float32)
+        mask[H // 4: -H // 4, W // 4: -W // 4] = 0
+        return {"X": rng.rand(H, W, 4).astype(np.float32),
+                "T": t0, "M": mask}
+
+    run_case("poisson_512", energies.poisson_image_editing,
+             [512, 512], poisson_inputs(512, 512))
