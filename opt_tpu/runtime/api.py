@@ -932,7 +932,11 @@ class Plan:
         1.17x at 256^2 x 16, docs/sweep_tpu_r3.csv) -- so callers never
         silently land in the losing regime.  "batched"/"solo" force a
         path.  Both paths return the same list of costs and leave the
-        same stacked _batched_state.
+        same stacked _batched_state.  Solo lanes themselves take the
+        measured-best single-chip engine: on TPU at vmem-eligible
+        sizes each lane runs the whole-solve VMEM kernel (1.5-3.6x
+        per lane over the fused XLA program, docs/sweep_tpu_r5.csv),
+        with the usual fallback.
 
         mesh: optional jax.sharding.Mesh -- the batch axis is sharded
         across every mesh axis (data-parallel serving: each device
@@ -972,11 +976,38 @@ class Plan:
                 mode = "solo"
         if mode == "solo":
             stack = lambda *ls: jnp.stack([jnp.asarray(l) for l in ls])
+            # each lane takes the measured-best single-chip engine: the
+            # solo loop exists precisely at sizes PAST the batching win
+            # region, which are the whole-solve VMEM kernel's sizes
+            # (1.5-3.6x per lane over the fused XLA program on TPU,
+            # docs/sweep_tpu_r5.csv); same XLA fallback as Plan.solve
+            eng = None
+            if self._pick_engine("auto") == "vmem":
+                from ..ops import vmem_solver
+
+                eng = vmem_solver.VmemSolver(self)
             sts = []
             with self.timer.event("solve_many"):
-                for i in inputs_list:
-                    x, d = self.bind(i, graph_mode="take")
-                    sts.append(self._full_solve_fn(x, d, sp))
+                if eng is not None:
+                    try:
+                        for i in inputs_list:
+                            out = eng.solve(i)
+                            sts.append({
+                                "x": out["x"],
+                                "prev_cost": jnp.asarray(
+                                    out["final_cost"], self.state.dtype),
+                            })
+                    except Exception as e:
+                        import warnings
+
+                        warnings.warn(
+                            "vmem solo lanes failed; falling back to "
+                            f"xla: {e!r:.160}")
+                        sts = []
+                if not sts:
+                    for i in inputs_list:
+                        x, d = self.bind(i, graph_mode="take")
+                        sts.append(self._full_solve_fn(x, d, sp))
                 jax.block_until_ready(sts)
             st = jax.tree_util.tree_map(stack, *sts)
             self._batched_state = st
